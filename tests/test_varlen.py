@@ -1,0 +1,132 @@
+"""Varlen (ragged batch) attention vs per-sequence oracle — the TPU analog of
+test_flash_attn_varlen_output (/root/reference/test.py:988-1307), using
+random per-batch lengths and the dual-reference tolerance."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from xf_flash_attention_cutlass_tpu.ops.reference import attention_ref
+from xf_flash_attention_cutlass_tpu.ops.varlen import (
+    flash_attn_varlen,
+    segments_from_cu_seqlens,
+)
+from xf_flash_attention_cutlass_tpu.utils.testing import assert_close_2ref, rand
+
+
+def make_ragged(key, b, max_sq, max_sk, h, h_k, d, dtype, decode=False):
+    """Random per-sequence lengths; returns packed arrays + padded oracle view."""
+    rng = np.random.RandomState(0)
+    len_q = (
+        np.full(b, 1, np.int32)
+        if decode
+        else rng.randint(1, max_sq + 1, b).astype(np.int32)
+    )
+    len_k = rng.randint(1, max_sk + 1, b).astype(np.int32)
+    cu_q = np.concatenate([[0], np.cumsum(len_q)]).astype(np.int32)
+    cu_k = np.concatenate([[0], np.cumsum(len_k)]).astype(np.int32)
+    total_q, total_k = int(cu_q[-1]), int(cu_k[-1])
+    keys = jax.random.split(key, 3)
+    q = rand(keys[0], (total_q, h, d), dtype)
+    k = rand(keys[1], (total_k, h_k, d), dtype)
+    v = rand(keys[2], (total_k, h_k, d), dtype)
+    return q, k, v, jnp.asarray(cu_q), jnp.asarray(cu_k), len_q, len_k
+
+
+def ref_per_sequence(q, k, v, cu_q, cu_k, len_q, len_k, upcast, reorder,
+                     causal, window, softcap):
+    outs = []
+    for i in range(len(len_q)):
+        qi = q[int(cu_q[i]):int(cu_q[i + 1])][None]
+        ki = k[int(cu_k[i]):int(cu_k[i + 1])][None]
+        vi = v[int(cu_k[i]):int(cu_k[i + 1])][None]
+        oi, _ = attention_ref(
+            qi, ki, vi, causal=causal, window_size=window, softcap=softcap,
+            upcast=upcast, reorder_ops=reorder,
+        )
+        outs.append(oi[0])
+    return jnp.concatenate(outs, axis=0)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+@pytest.mark.parametrize("h,h_k", [(4, 4), (8, 2)])
+def test_varlen_output(causal, h, h_k):
+    q, k, v, cu_q, cu_k, len_q, len_k = make_ragged(
+        jax.random.PRNGKey(0), 4, 157, 203, h, h_k, 64, jnp.float16
+    )
+    out, lse = flash_attn_varlen(
+        q, k, v, cu_q, cu_k, max_seqlen_q=157, max_seqlen_k=203, causal=causal
+    )
+    out_ref = ref_per_sequence(
+        q, k, v, cu_q, cu_k, len_q, len_k, True, False, causal, (-1, -1), 0.0
+    )
+    out_lp = ref_per_sequence(
+        q, k, v, cu_q, cu_k, len_q, len_k, False, True, causal, (-1, -1), 0.0
+    )
+    assert_close_2ref(out, out_ref, out_lp)
+    assert lse.shape == (h, q.shape[0])
+
+
+@pytest.mark.parametrize("window", [(32, 0), (16, 8)])
+def test_varlen_local(window):
+    q, k, v, cu_q, cu_k, len_q, len_k = make_ragged(
+        jax.random.PRNGKey(1), 3, 120, 180, 2, 2, 64, jnp.float16
+    )
+    out, _ = flash_attn_varlen(
+        q, k, v, cu_q, cu_k, max_seqlen_q=120, max_seqlen_k=180, window=window
+    )
+    out_ref = ref_per_sequence(
+        q, k, v, cu_q, cu_k, len_q, len_k, True, False, False, window, 0.0
+    )
+    out_lp = ref_per_sequence(
+        q, k, v, cu_q, cu_k, len_q, len_k, False, True, False, window, 0.0
+    )
+    assert_close_2ref(out, out_ref, out_lp)
+
+
+def test_varlen_decode_shape():
+    # all len_q == 1: packed decode over ragged KV histories
+    q, k, v, cu_q, cu_k, len_q, len_k = make_ragged(
+        jax.random.PRNGKey(2), 8, 1, 300, 4, 4, 64, jnp.float16, decode=True
+    )
+    out, _ = flash_attn_varlen(
+        q, k, v, cu_q, cu_k, max_seqlen_q=1, max_seqlen_k=300, causal=True
+    )
+    out_ref = ref_per_sequence(
+        q, k, v, cu_q, cu_k, len_q, len_k, True, False, True, (-1, -1), 0.0
+    )
+    out_lp = ref_per_sequence(
+        q, k, v, cu_q, cu_k, len_q, len_k, False, True, True, (-1, -1), 0.0
+    )
+    assert_close_2ref(out, out_ref, out_lp)
+
+
+def test_varlen_grads():
+    q, k, v, cu_q, cu_k, len_q, len_k = make_ragged(
+        jax.random.PRNGKey(3), 3, 100, 150, 2, 2, 64, jnp.float32
+    )
+    g = rand(jax.random.PRNGKey(4), q.shape, jnp.float32)
+
+    def impl_loss(q, k, v):
+        o, _ = flash_attn_varlen(
+            q, k, v, cu_q, cu_k, max_seqlen_q=100, max_seqlen_k=150, causal=True
+        )
+        return jnp.sum(o * g)
+
+    def ref_loss(q, k, v):
+        o = ref_per_sequence(
+            q, k, v, cu_q, cu_k, len_q, len_k, True, False, True, (-1, -1), 0.0
+        )
+        return jnp.sum(o * g)
+
+    grads = jax.grad(impl_loss, argnums=(0, 1, 2))(q, k, v)
+    grads_ref = jax.grad(ref_loss, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(grads, grads_ref):
+        assert float(jnp.max(jnp.abs(a - b))) < 2e-4
+
+
+def test_segments_from_cu_seqlens():
+    cu = jnp.asarray([0, 3, 3, 7], jnp.int32)
+    seg = segments_from_cu_seqlens(cu, 9)
+    assert list(np.asarray(seg)) == [0, 0, 0, 2, 2, 2, 2, -1, -1]

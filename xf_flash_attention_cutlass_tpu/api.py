@@ -1,0 +1,150 @@
+"""Public API mirroring the reference's Python surface
+(/root/reference/test.py:41-245): BSHD-layout ``flash_attn_func``,
+``flash_attn_varlen_func`` and ``flash_attn_with_kvcache``.
+
+These wrappers adapt the reference's (batch, seq, heads, dim) layout to the
+kernels' native (batch, heads, seq, dim); performance-critical callers should
+use the BHSD kernel entry points in ``ops`` directly.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+
+from xf_flash_attention_cutlass_tpu.ops.flash import flash_attention
+
+
+def flash_attn_func(
+    q: jax.Array,  # (b, sq, h, d)
+    k: jax.Array,  # (b, sk, h_k, d)
+    v: jax.Array,  # (b, sk, h_k, d)
+    dropout_p: float = 0.0,
+    causal: bool = False,
+    window_size: Tuple[int, int] = (-1, -1),
+    softcap: float = 0.0,
+    alibi_slopes: Optional[jax.Array] = None,
+    deterministic: bool = False,
+    return_attn_probs: bool = False,
+    softmax_scale: Optional[float] = None,
+    dropout_seed: int = 0,
+):
+    """Dense flash attention (reference: test.py:41-72). Differentiable."""
+    del deterministic  # TPU kernels are deterministic by construction
+    out, lse = flash_attention(
+        q.swapaxes(1, 2),
+        k.swapaxes(1, 2),
+        v.swapaxes(1, 2),
+        causal=causal,
+        window=window_size,
+        softcap=softcap,
+        alibi_slopes=alibi_slopes,
+        dropout_p=dropout_p,
+        dropout_seed=dropout_seed,
+        softmax_scale=softmax_scale,
+    )
+    out = out.swapaxes(1, 2)
+    if return_attn_probs:
+        return out, lse, None  # S_dmask not materialized on TPU
+    return out
+
+
+def flash_attn_varlen_func(
+    q,  # (total_q, h, d)
+    k,  # (total_k, h_k, d)
+    v,
+    cu_seqlens_q,
+    cu_seqlens_k,
+    max_seqlen_q: int,
+    max_seqlen_k: int,
+    dropout_p: float = 0.0,
+    softmax_scale: Optional[float] = None,
+    causal: bool = False,
+    window_size: Tuple[int, int] = (-1, -1),
+    softcap: float = 0.0,
+    alibi_slopes=None,
+    deterministic: bool = False,
+    return_attn_probs: bool = False,
+    block_table=None,
+    dropout_seed: int = 0,
+):
+    """Ragged-batch flash attention (reference: test.py:102-149)."""
+    from xf_flash_attention_cutlass_tpu.ops.varlen import flash_attn_varlen
+
+    del deterministic
+    if block_table is not None:
+        raise NotImplementedError(
+            "block_table with varlen prefill: use flash_attn_with_kvcache"
+        )
+    out, lse = flash_attn_varlen(
+        q,
+        k,
+        v,
+        cu_seqlens_q,
+        cu_seqlens_k,
+        max_seqlen_q=max_seqlen_q,
+        max_seqlen_k=max_seqlen_k,
+        causal=causal,
+        window=window_size,
+        softcap=softcap,
+        alibi_slopes=alibi_slopes,
+        dropout_p=dropout_p,
+        dropout_seed=dropout_seed,
+        softmax_scale=softmax_scale,
+    )
+    if return_attn_probs:
+        return out, lse, None
+    return out
+
+
+def flash_attn_with_kvcache(
+    q,  # (b, sq, h, d)
+    k_cache,  # (b, sk, h_k, d) dense or (num_blocks, page, h_k, d) paged
+    v_cache,
+    k=None,
+    v=None,
+    rotary_cos=None,
+    rotary_sin=None,
+    cache_seqlens=None,
+    cache_batch_idx=None,
+    cache_leftpad=None,
+    block_table=None,
+    softmax_scale=None,
+    causal: bool = False,
+    window_size: Tuple[int, int] = (-1, -1),
+    softcap: float = 0.0,
+    rotary_interleaved: bool = True,
+    alibi_slopes=None,
+    num_splits: int = 0,
+    return_softmax_lse: bool = False,
+):
+    """Paged/dense KV-cache decode+append (reference: test.py:189-245).
+
+    Unlike the torch reference, JAX arrays are immutable: the (possibly
+    updated) caches are RETURNED — (out, k_cache, v_cache) or
+    (out, lse, k_cache, v_cache) with return_softmax_lse.
+    """
+    from xf_flash_attention_cutlass_tpu.ops.kvcache import attention_with_kvcache
+
+    return attention_with_kvcache(
+        q,
+        k_cache,
+        v_cache,
+        k_new=k,
+        v_new=v,
+        rotary_cos=rotary_cos,
+        rotary_sin=rotary_sin,
+        cache_seqlens=cache_seqlens,
+        cache_batch_idx=cache_batch_idx,
+        cache_leftpad=cache_leftpad,
+        block_table=block_table,
+        softmax_scale=softmax_scale,
+        causal=causal,
+        window_size=window_size,
+        softcap=softcap,
+        rotary_interleaved=rotary_interleaved,
+        alibi_slopes=alibi_slopes,
+        num_splits=num_splits,
+        return_softmax_lse=return_softmax_lse,
+    )

@@ -1,0 +1,419 @@
+"""Dense flash-attention forward — Pallas TPU kernel.
+
+TPU-native re-design of the reference's fused CUTLASS forward pipeline
+(`compute_attn_1rowblock`, /root/reference/csrc/flash_attn/src/flash_fwd_kernel.h:48-578):
+online-softmax two-matmul tiling with causal / sliding-window masking, ALiBi,
+softcap, dropout, GQA/MQA head grouping and ragged (segment/position) masking.
+
+Design differences from the reference (deliberate, TPU-first):
+- Tiling/DMA/double-buffering is owned by the Pallas grid pipeline (Mosaic),
+  not hand-rolled smem staging; the KV loop is the innermost grid dimension so
+  the next K/V block DMA overlaps the current block's MXU work.
+- The wave64 MFMA fragment index math of `mask.h:99-238` collapses into plain
+  `broadcasted_iota` position algebra over (block_q, block_k) tiles.
+- GQA is an index-map remap (kv head = q head // group), not a tensor repeat.
+- Fully-masked KV blocks are skipped with `pl.when` (analog of the reference's
+  `n_block_max` trimming at flash_fwd_kernel.h:81-88).
+- Row statistics (m, l) and the output accumulator live in fp32 VMEM scratch
+  that persists across the KV grid dimension (analog of softmax.h:136-167).
+
+Returns O and the log-sum-exp per row (natural log), with LSE = -inf for rows
+that attend to nothing (the split-friendly convention; cf. softmax.h:170-186).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from xf_flash_attention_cutlass_tpu.utils import cdiv, default_interpret, next_multiple
+
+NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)  # finite mask value
+
+
+@dataclasses.dataclass(frozen=True)
+class FlashParams:
+    """Static kernel configuration (the TPU analog of Flash_fwd_params,
+    /root/reference/csrc/flash_attn/src/flash_hip.h:77-172, minus pointers)."""
+
+    seq_q: int  # true query length (pre-padding)
+    seq_k: int  # true key length (pre-padding)
+    q_heads: int
+    kv_heads: int
+    scale: float
+    causal: bool = False
+    window: Tuple[int, int] = (-1, -1)  # (left, right); -1 = unbounded
+    softcap: float = 0.0
+    has_alibi: bool = False
+    has_segments: bool = False
+    has_positions: bool = False  # explicit q/kv position arrays (varlen)
+    has_kv_lens: bool = False  # per-batch dynamic kv lengths (kvcache)
+    dropout_p: float = 0.0
+    block_q: int = 256
+    block_k: int = 256
+
+    @property
+    def window_resolved(self) -> Tuple[int, int]:
+        # causal == right window 0 (reference: test.py:351-352 / mask.h:99)
+        if self.causal:
+            return (self.window[0], 0)
+        return self.window
+
+    @property
+    def masks_cols_right(self) -> bool:
+        return self.window_resolved[1] >= 0
+
+    @property
+    def masks_cols_left(self) -> bool:
+        return self.window_resolved[0] >= 0
+
+
+def _flash_fwd_kernel(params: FlashParams, seq_k_padded: int, *refs):
+    """One (batch, q-head, q-block) row-block; KV blocks arrive via grid dim 3."""
+    it = iter(refs)
+    q_ref = next(it)
+    k_ref = next(it)
+    v_ref = next(it)
+    alibi_ref = next(it) if params.has_alibi else None
+    kv_lens_ref = next(it) if params.has_kv_lens else None
+    qseg_ref = next(it) if params.has_segments else None
+    kseg_ref = next(it) if params.has_segments else None
+    qpos_ref = next(it) if params.has_positions else None
+    kpos_ref = next(it) if params.has_positions else None
+    seed_ref = next(it) if params.dropout_p > 0.0 else None
+    o_ref = next(it)
+    lse_ref = next(it)
+    m_scr = next(it)
+    l_scr = next(it)
+    acc_scr = next(it)
+
+    bq, bk = params.block_q, params.block_k
+    wl, wr = params.window_resolved
+    ib = pl.program_id(0)
+    ih = pl.program_id(1)
+    iq = pl.program_id(2)
+    ik = pl.program_id(3)
+    nk = pl.num_programs(3)
+
+    @pl.when(ik == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    # ---- positions ----------------------------------------------------
+    # Bottom-right-aligned geometry: query row i attends to key col j iff
+    # j - offset <= i + right and j - offset >= i - left, offset = sk - sq.
+    # We fold the offset into the query positions (cf. mask.h:119-134).
+    row_in_blk = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
+    col_in_blk = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+    if params.has_positions:
+        qpos = qpos_ref[0] + jnp.zeros((bq, bk), jnp.int32)  # (bq,1) bcast
+        kpos = kpos_ref[0] + jnp.zeros((bq, bk), jnp.int32)  # (1,bk) bcast
+    else:
+        offset = params.seq_k - params.seq_q
+        qpos = iq * bq + row_in_blk + offset
+        kpos = ik * bk + col_in_blk
+    kcol = ik * bk + col_in_blk  # raw column index (for length bounds)
+
+    # ---- block-level skip (causal/local trimming) ----------------------
+    # Conservative bounds on this block's positions let us skip fully-masked
+    # blocks entirely — the analog of n_block_min/max trimming.
+    if params.has_positions:
+        q_hi = jnp.max(qpos_ref[0])
+        q_lo = jnp.min(qpos_ref[0])
+        k_lo_pos = jnp.min(kpos_ref[0])
+        k_hi_pos = jnp.max(kpos_ref[0])
+    else:
+        offset = params.seq_k - params.seq_q
+        q_hi = (iq + 1) * bq - 1 + offset
+        q_lo = iq * bq + offset
+        k_lo_pos = ik * bk
+        k_hi_pos = (ik + 1) * bk - 1
+
+    live = jnp.bool_(True)
+    if params.masks_cols_right:
+        live = jnp.logical_and(live, k_lo_pos <= q_hi + wr)
+    if params.masks_cols_left:
+        live = jnp.logical_and(live, k_hi_pos >= q_lo - wl)
+    # static column-length bound: whole block past true seq_k
+    if ik is not None:
+        live = jnp.logical_and(live, ik * bk < params.seq_k)
+    if params.has_kv_lens:
+        live = jnp.logical_and(live, ik * bk < kv_lens_ref[0, 0])
+
+    needs_col_bound = params.has_kv_lens or (seq_k_padded != params.seq_k)
+    any_elementwise_mask = (
+        params.masks_cols_right
+        or params.masks_cols_left
+        or params.has_segments
+        or needs_col_bound
+    )
+
+    @pl.when(live)
+    def _body():
+        q = q_ref[0, 0]  # (bq, d)
+        k = k_ref[0, 0]  # (bk, d)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        s = s * params.scale
+        if params.softcap > 0.0:
+            # tanh softcap on the scaled scores (utils.h:554-559)
+            s = jnp.tanh(s / params.softcap) * params.softcap
+
+        keep = None
+        if any_elementwise_mask:
+            keep = jnp.ones((bq, bk), jnp.bool_)
+            if params.masks_cols_right:
+                keep = jnp.logical_and(keep, kpos <= qpos + wr)
+            if params.masks_cols_left:
+                keep = jnp.logical_and(keep, kpos >= qpos - wl)
+            if params.has_segments:
+                keep = jnp.logical_and(keep, qseg_ref[0] == kseg_ref[0])
+            if params.has_kv_lens:
+                keep = jnp.logical_and(keep, kcol < kv_lens_ref[0, 0])
+            elif seq_k_padded != params.seq_k:
+                keep = jnp.logical_and(keep, kcol < params.seq_k)
+
+        if params.has_alibi:
+            # -slope * |distance|; for causal this differs from the
+            # reference's row-free form (test.py:260-261) by a per-row
+            # constant, which softmax cancels. Slope is NOT pre-scaled
+            # (we add bias after scaling, like attention_ref).
+            slope = alibi_ref[0, 0]
+            s = s - slope * jnp.abs(qpos - kpos).astype(jnp.float32)
+
+        if keep is not None:
+            s = jnp.where(keep, s, NEG_INF)
+
+        # ---- online softmax rescale (softmax.h:136-167) ----------------
+        m_prev = m_scr[...]  # (bq, 1)
+        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(s - m_new)
+        if keep is not None:
+            p = jnp.where(keep, p, 0.0)
+        corr = jnp.exp(m_prev - m_new)
+        l_new = l_scr[...] * corr + jnp.sum(p, axis=1, keepdims=True)
+
+        if params.dropout_p > 0.0:
+            # Counter-based per-block reseed — order-independent across the
+            # grid so fwd and bwd regenerate identical masks (the TPU analog
+            # of the Philox offset scheme in dropout.h:26-105).
+            nq = pl.num_programs(2)
+            h_all = pl.num_programs(1)
+            blk_idx = ((ib * h_all + ih) * nq + iq) * nk + ik
+            pltpu.prng_seed(seed_ref[0, 0], blk_idx)
+            bits = pltpu.prng_random_bits((bq, bk))
+            thresh = jnp.uint32(
+                min(int(params.dropout_p * float(2**32)), 2**32 - 1)
+            )
+            keep_drop = pltpu.bitcast(bits, jnp.uint32) >= thresh
+            p_acc = jnp.where(keep_drop, p, 0.0)
+        else:
+            p_acc = p
+
+        acc_scr[...] = acc_scr[...] * corr + jax.lax.dot_general(
+            p_acc.astype(v_ref.dtype),
+            v_ref[0, 0],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        m_scr[...] = m_new
+        l_scr[...] = l_new
+
+    @pl.when(ik == nk - 1)
+    def _epilogue():
+        # normalize_softmax_lse (softmax.h:170-186): empty rows -> O = 0,
+        # LSE = -inf (split-identity convention).
+        m = m_scr[...]
+        l = l_scr[...]
+        empty = l <= 0.0
+        inv = jnp.where(empty, 1.0, 1.0 / jnp.where(empty, 1.0, l))
+        o = acc_scr[...] * inv
+        if params.dropout_p > 0.0:
+            o = o * (1.0 / (1.0 - params.dropout_p))
+        o_ref[0, 0] = jnp.where(empty, 0.0, o).astype(o_ref.dtype)
+        lse = jnp.where(empty, -jnp.inf, m + jnp.log(jnp.where(empty, 1.0, l)))
+        lse_ref[0, 0] = lse.astype(lse_ref.dtype)  # (bq, 1)
+
+
+def flash_fwd(
+    q: jax.Array,  # (b, h, sq, d)
+    k: jax.Array,  # (b, h_k, sk, d)
+    v: jax.Array,  # (b, h_k, sk, d)
+    *,
+    causal: bool = False,
+    window: Tuple[int, int] = (-1, -1),
+    softcap: float = 0.0,
+    softmax_scale: Optional[float] = None,
+    alibi_slopes: Optional[jax.Array] = None,  # (h,) or (b, h) fp32
+    kv_lens: Optional[jax.Array] = None,  # (b,) int32
+    q_segment_ids: Optional[jax.Array] = None,  # (b, sq) int32
+    kv_segment_ids: Optional[jax.Array] = None,  # (b, sk) int32
+    q_positions: Optional[jax.Array] = None,  # (b, sq) int32 (offset-folded)
+    kv_positions: Optional[jax.Array] = None,  # (b, sk) int32
+    dropout_p: float = 0.0,
+    dropout_seed: int = 0,
+    block_q: Optional[int] = None,
+    block_k: Optional[int] = None,
+    interpret: Optional[bool] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Flash attention forward in BHSD layout. Returns (O, LSE).
+
+    O: (b, h, sq, d) in q.dtype; LSE: (b, h, sq) fp32, natural log,
+    -inf for rows with no visible keys.
+    """
+    if interpret is None:
+        interpret = default_interpret()
+    out_dtype = q.dtype
+    if not interpret and q.dtype == jnp.float16:
+        # Mosaic has no f16; compute in f32 (exceeds fp16 accuracy).
+        q, k, v = (x.astype(jnp.float32) for x in (q, k, v))
+    b, h, sq, d = q.shape
+    _, h_k, sk, _ = k.shape
+    if h % h_k != 0:
+        raise ValueError(
+            f"q_heads ({h}) must be a multiple of kv_heads ({h_k}) for GQA/MQA"
+        )
+    group = h // h_k
+    scale = softmax_scale if softmax_scale is not None else 1.0 / math.sqrt(d)
+
+    # --- padding to hardware tiles --------------------------------------
+    d_pad = max(next_multiple(d, 128), 128)
+    bq = block_q or min(512, next_multiple(sq, 128))
+    bk = block_k or min(512, next_multiple(sk, 128))
+    bq = min(bq, next_multiple(sq, 128))
+    bk = min(bk, next_multiple(sk, 128))
+    sq_pad = next_multiple(sq, bq)
+    sk_pad = next_multiple(sk, bk)
+
+    qp = jnp.pad(q, ((0, 0), (0, 0), (0, sq_pad - sq), (0, d_pad - d)))
+    kp = jnp.pad(k, ((0, 0), (0, 0), (0, sk_pad - sk), (0, d_pad - d)))
+    vp = jnp.pad(v, ((0, 0), (0, 0), (0, sk_pad - sk), (0, d_pad - d)))
+
+    has_positions = q_positions is not None
+    if has_positions:
+        assert kv_positions is not None
+        q_positions = jnp.pad(
+            q_positions, ((0, 0), (0, sq_pad - sq)), constant_values=-(2**30)
+        ).astype(jnp.int32)[:, :, None]  # (b, sq, 1): column reads in-kernel
+        kv_positions = jnp.pad(
+            kv_positions, ((0, 0), (0, sk_pad - sk)), constant_values=2**30
+        ).astype(jnp.int32)[:, None, :]  # (b, 1, sk): row reads in-kernel
+    has_segments = q_segment_ids is not None
+    if has_segments:
+        assert kv_segment_ids is not None
+        q_segment_ids = jnp.pad(
+            q_segment_ids, ((0, 0), (0, sq_pad - sq)), constant_values=-1
+        ).astype(jnp.int32)[:, :, None]
+        kv_segment_ids = jnp.pad(
+            kv_segment_ids, ((0, 0), (0, sk_pad - sk)), constant_values=-2
+        ).astype(jnp.int32)[:, None, :]
+    has_alibi = alibi_slopes is not None
+    if has_alibi:
+        alibi_slopes = jnp.asarray(alibi_slopes, jnp.float32)
+        if alibi_slopes.ndim == 1:
+            alibi_slopes = jnp.broadcast_to(alibi_slopes[None, :], (b, h))
+    has_kv_lens = kv_lens is not None
+    if has_kv_lens:
+        kv_lens = kv_lens.astype(jnp.int32).reshape(b, 1)
+
+    params = FlashParams(
+        seq_q=sq,
+        seq_k=sk,
+        q_heads=h,
+        kv_heads=h_k,
+        scale=scale,
+        causal=causal,
+        window=window,
+        softcap=softcap,
+        has_alibi=has_alibi,
+        has_segments=has_segments,
+        has_positions=has_positions,
+        has_kv_lens=has_kv_lens,
+        dropout_p=dropout_p,
+        block_q=bq,
+        block_k=bk,
+    )
+
+    grid = (b, h, sq_pad // bq, sk_pad // bk)
+
+    in_specs = [
+        pl.BlockSpec((1, 1, bq, d_pad), lambda ib, ih, iq, ik: (ib, ih, iq, 0)),
+        pl.BlockSpec(
+            (1, 1, bk, d_pad), lambda ib, ih, iq, ik: (ib, ih // group, ik, 0)
+        ),
+        pl.BlockSpec(
+            (1, 1, bk, d_pad), lambda ib, ih, iq, ik: (ib, ih // group, ik, 0)
+        ),
+    ]
+    inputs = [qp, kp, vp]
+    if has_alibi:
+        in_specs.append(
+            pl.BlockSpec(
+                (1, 1), lambda ib, ih, iq, ik: (ib, ih), memory_space=pltpu.SMEM
+            )
+        )
+        inputs.append(alibi_slopes)
+    if has_kv_lens:
+        in_specs.append(
+            pl.BlockSpec(
+                (1, 1), lambda ib, ih, iq, ik: (ib, 0), memory_space=pltpu.SMEM
+            )
+        )
+        inputs.append(kv_lens)
+    if has_segments:
+        in_specs.append(pl.BlockSpec((1, bq, 1), lambda ib, ih, iq, ik: (ib, iq, 0)))
+        inputs.append(q_segment_ids)
+        in_specs.append(pl.BlockSpec((1, 1, bk), lambda ib, ih, iq, ik: (ib, 0, ik)))
+        inputs.append(kv_segment_ids)
+    if has_positions:
+        in_specs.append(pl.BlockSpec((1, bq, 1), lambda ib, ih, iq, ik: (ib, iq, 0)))
+        inputs.append(q_positions)
+        in_specs.append(pl.BlockSpec((1, 1, bk), lambda ib, ih, iq, ik: (ib, 0, ik)))
+        inputs.append(kv_positions)
+    if dropout_p > 0.0:
+        in_specs.append(
+            pl.BlockSpec(
+                (1, 1), lambda ib, ih, iq, ik: (0, 0), memory_space=pltpu.SMEM
+            )
+        )
+        inputs.append(jnp.asarray([[dropout_seed]], jnp.int32))
+
+    out_shape = [
+        jax.ShapeDtypeStruct((b, h, sq_pad, d_pad), q.dtype),
+        jax.ShapeDtypeStruct((b, h, sq_pad, 1), jnp.float32),
+    ]
+    out_specs = [
+        pl.BlockSpec((1, 1, bq, d_pad), lambda ib, ih, iq, ik: (ib, ih, iq, 0)),
+        pl.BlockSpec((1, 1, bq, 1), lambda ib, ih, iq, ik: (ib, ih, iq, 0)),
+    ]
+    scratch_shapes = [
+        pltpu.VMEM((bq, 1), jnp.float32),  # running max m
+        pltpu.VMEM((bq, 1), jnp.float32),  # running sum l
+        pltpu.VMEM((bq, d_pad), jnp.float32),  # output accumulator
+    ]
+
+    kernel = functools.partial(_flash_fwd_kernel, params, sk_pad)
+    o, lse = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch_shapes,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(*inputs)
+    return o[:, :, :sq, :d].astype(out_dtype), lse[:, :, :sq, 0]

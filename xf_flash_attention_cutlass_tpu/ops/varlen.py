@@ -1,0 +1,112 @@
+"""Ragged-batch (varlen) flash attention.
+
+The reference implements varlen with `cu_seqlens` pointer arithmetic inside
+the kernel (`BlockInfo`, /root/reference/csrc/flash_attn/src/block_info.h:12-44,
+host path paged_attn.cpp:385-433). Under XLA's static shapes the TPU-native
+equivalent is *packing*: concatenate all sequences into one row axis and mask
+with per-token segment ids; bottom-right-aligned causal/local geometry is
+recovered by folding each sequence's (len_k - len_q) offset into the query
+position array. The dense Pallas kernel then handles everything, including
+the causal block-skip (block position bounds degrade gracefully to the
+segment-aware case).
+
+All quantities derived from cu_seqlens are traced jnp ops, so sequence
+lengths may be dynamic under jit as long as total_q/total_k stay static —
+exactly the continuous-batching contract the serve layer needs.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from xf_flash_attention_cutlass_tpu.ops.flash import flash_attention
+
+
+def segments_from_cu_seqlens(cu_seqlens: jax.Array, total: int) -> jax.Array:
+    """Token index -> segment id; tokens past cu_seqlens[-1] get -1."""
+    idx = jnp.arange(total, dtype=jnp.int32)
+    seg = jnp.searchsorted(cu_seqlens.astype(jnp.int32), idx, side="right") - 1
+    nseq = cu_seqlens.shape[0] - 1
+    valid = jnp.logical_and(seg >= 0, idx < cu_seqlens[-1])
+    seg = jnp.where(valid, jnp.minimum(seg, nseq - 1), -1)
+    return seg.astype(jnp.int32)
+
+
+def flash_attn_varlen(
+    q: jax.Array,  # (total_q, h, d)
+    k: jax.Array,  # (total_k, h_k, d)
+    v: jax.Array,
+    cu_seqlens_q: jax.Array,  # (b+1,) int32
+    cu_seqlens_k: jax.Array,  # (b+1,) int32
+    *,
+    max_seqlen_q: int,
+    max_seqlen_k: int,
+    causal: bool = False,
+    window: Tuple[int, int] = (-1, -1),
+    softcap: float = 0.0,
+    softmax_scale: Optional[float] = None,
+    alibi_slopes: Optional[jax.Array] = None,  # (h,) only in varlen mode
+    dropout_p: float = 0.0,
+    dropout_seed: int = 0,
+    block_q: Optional[int] = None,
+    block_k: Optional[int] = None,
+    interpret: Optional[bool] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Returns (out (total_q, h, d), lse (h, total_q)) — unpadded LSE layout,
+    matching the reference's `unpadded_lse=true` (paged_attn.cpp:425)."""
+    del max_seqlen_q, max_seqlen_k  # shapes are static on TPU
+    total_q, h, d = q.shape
+    total_k = k.shape[0]
+    cu_q = cu_seqlens_q.astype(jnp.int32)
+    cu_k = cu_seqlens_k.astype(jnp.int32)
+
+    qseg = segments_from_cu_seqlens(cu_q, total_q)
+    kseg = segments_from_cu_seqlens(cu_k, total_k)
+
+    # per-token position within its sequence, with the bottom-right causal
+    # offset (len_k - len_q) folded into the query positions
+    qidx = jnp.arange(total_q, dtype=jnp.int32)
+    kidx = jnp.arange(total_k, dtype=jnp.int32)
+    len_q = cu_q[1:] - cu_q[:-1]
+    len_k = cu_k[1:] - cu_k[:-1]
+    seg_clip_q = jnp.clip(qseg, 0, None)
+    qpos = (
+        qidx
+        - cu_q[seg_clip_q]
+        + len_k[seg_clip_q]
+        - len_q[seg_clip_q]
+    )
+    qpos = jnp.where(qseg >= 0, qpos, -(2**30)).astype(jnp.int32)
+    seg_clip_k = jnp.clip(kseg, 0, None)
+    kpos = jnp.where(kseg >= 0, kidx - cu_k[seg_clip_k], 2**30).astype(jnp.int32)
+
+    if alibi_slopes is not None:
+        alibi_slopes = jnp.asarray(alibi_slopes, jnp.float32)
+        if alibi_slopes.ndim != 1:
+            raise NotImplementedError(
+                "per-batch alibi slopes are not supported in packed varlen mode"
+            )
+
+    out, lse = flash_attention(
+        q.swapaxes(0, 1)[None],  # (1, h, total_q, d)
+        k.swapaxes(0, 1)[None],
+        v.swapaxes(0, 1)[None],
+        causal=causal,
+        window=window,
+        softcap=softcap,
+        softmax_scale=softmax_scale,
+        alibi_slopes=alibi_slopes,
+        q_segment_ids=qseg[None],
+        kv_segment_ids=kseg[None],
+        q_positions=qpos[None],
+        kv_positions=kpos[None],
+        dropout_p=dropout_p,
+        dropout_seed=dropout_seed,
+        block_q=block_q,
+        block_k=block_k,
+        interpret=interpret,
+    )
+    return out[0].swapaxes(0, 1), lse[0]
