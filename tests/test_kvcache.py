@@ -1,0 +1,293 @@
+"""Paged / dense KV-cache decode tests — TPU analog of
+test_flash_attn_kvcache (/root/reference/test.py:1310-1596): paged block
+tables via randperm, append of new KV, fused rotary, cache_batch_idx,
+leftpad, GQA/MQA, local windows, split-KV — with the reference's 3x (+5x
+with ALiBi) tolerance rule and the exact cache-mutation check."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from xf_flash_attention_cutlass_tpu.api import flash_attn_with_kvcache
+from xf_flash_attention_cutlass_tpu.ops.reference import (
+    attention_ref,
+    attn_bias_from_alibi_slopes,
+)
+from xf_flash_attention_cutlass_tpu.ops.rotary import (
+    apply_rotary,
+    rotary_frequencies,
+)
+from xf_flash_attention_cutlass_tpu.utils.testing import (
+    assert_close_2ref,
+    max_err,
+    rand,
+)
+
+
+def _block_kvcache(rng, seqlen_k, page, b, h_k, d, dtype):
+    """Paged cache fixture (_generate_block_kvcache, test.py:1597-1621)."""
+    pages_per_seq = (seqlen_k + page - 1) // page
+    num_blocks = pages_per_seq * b * 3
+    k_paged = rand(jax.random.PRNGKey(11), (num_blocks, page, h_k, d), dtype)
+    v_paged = rand(jax.random.PRNGKey(12), (num_blocks, page, h_k, d), dtype)
+    block_table = jnp.asarray(
+        rng.permutation(num_blocks)[: b * pages_per_seq].reshape(b, pages_per_seq),
+        jnp.int32,
+    )
+    # dense view for the oracle
+    k_dense = k_paged[np.asarray(block_table).reshape(-1)].reshape(
+        b, pages_per_seq * page, h_k, d
+    )[:, :seqlen_k]
+    v_dense = v_paged[np.asarray(block_table).reshape(-1)].reshape(
+        b, pages_per_seq * page, h_k, d
+    )[:, :seqlen_k]
+    return k_paged, v_paged, block_table, k_dense, v_dense
+
+
+def run_kvcache_case(
+    sq,
+    sk,
+    d=128,
+    page=16,
+    mha_type="mha",
+    causal=True,
+    window=(-1, -1),
+    new_kv=False,
+    rotary_fraction=0.0,
+    rotary_interleaved=True,
+    alibi=False,
+    has_batch_idx=False,
+    has_leftpad=False,
+    paged=True,
+    num_splits=0,
+    dtype=jnp.float16,
+    seed=0,
+):
+    rng = np.random.default_rng(seed)
+    b = 2
+    h = 6
+    h_k = {"mha": 6, "gqa": 3, "mqa": 1}[mha_type]
+    b_cache = b * 2 if has_batch_idx else b
+    q = rand(jax.random.PRNGKey(1), (b, sq, h, d), dtype)
+    s_new = sq if new_kv else 0
+    k_new = rand(jax.random.PRNGKey(2), (b, s_new, h_k, d), dtype) if new_kv else None
+    v_new = rand(jax.random.PRNGKey(3), (b, s_new, h_k, d), dtype) if new_kv else None
+
+    if paged:
+        assert not has_batch_idx and not has_leftpad
+        k_cache, v_cache, block_table, k_dense, v_dense = _block_kvcache(
+            rng, sk, page, b, h_k, d, dtype
+        )
+        cache_arg = (k_cache, v_cache)
+    else:
+        k_cache = rand(jax.random.PRNGKey(11), (b_cache, sk, h_k, d), dtype)
+        v_cache = rand(jax.random.PRNGKey(12), (b_cache, sk, h_k, d), dtype)
+        block_table = None
+        cache_arg = (k_cache, v_cache)
+
+    hi = sk - (sq if new_kv else 0) + 1
+    cache_seqlens = jnp.asarray(
+        rng.integers(0 if new_kv else 1, max(hi, 2), (b,)), jnp.int32
+    )
+    cache_batch_idx = (
+        jnp.asarray(rng.permutation(b_cache)[:b], jnp.int32) if has_batch_idx else None
+    )
+    cache_leftpad = None
+    if has_leftpad:
+        cache_leftpad = jnp.asarray(
+            [rng.integers(0, int(s)) if int(s) > 0 else 0 for s in cache_seqlens],
+            jnp.int32,
+        )
+
+    rotary_dim = int(rotary_fraction * d) // 16 * 16
+    if rotary_dim > 0:
+        cos, sin = rotary_frequencies(rotary_dim, sk + sq, dtype=dtype)
+    else:
+        cos, sin = None, None
+
+    slopes = None
+    if alibi:
+        slopes = jnp.asarray(
+            rng.random((b, h), dtype=np.float32) * 0.3, jnp.float32
+        )
+
+    out = flash_attn_with_kvcache(
+        q,
+        *cache_arg,
+        k=k_new,
+        v=v_new,
+        rotary_cos=cos,
+        rotary_sin=sin,
+        cache_seqlens=cache_seqlens,
+        cache_batch_idx=cache_batch_idx,
+        cache_leftpad=cache_leftpad,
+        block_table=block_table,
+        causal=causal,
+        window_size=window,
+        rotary_interleaved=rotary_interleaved,
+        alibi_slopes=slopes,
+        num_splits=num_splits,
+    )
+    out, k_cache_out, v_cache_out = out
+
+    # ---- oracle ----------------------------------------------------------
+    if paged:
+        kc_ref, vc_ref = k_dense, v_dense
+    else:
+        kc_ref = k_cache[cache_batch_idx] if has_batch_idx else k_cache
+        vc_ref = v_cache[cache_batch_idx] if has_batch_idx else v_cache
+    arange = jnp.arange(sk, dtype=jnp.int32)[None, :]
+    key_padding = arange < (cache_seqlens[:, None] + s_new)
+    if has_leftpad:
+        key_padding = jnp.logical_and(key_padding, arange >= cache_leftpad[:, None])
+
+    q_ro, k_ro = q, k_new
+    if rotary_dim > 0 and new_kv:
+        t = jnp.arange(sq, dtype=jnp.int32)[None, :]
+        local = window[0] >= 0 or window[1] >= 0
+        q_pos = (
+            cache_seqlens[:, None] + t
+            if (causal or local)
+            else jnp.broadcast_to(cache_seqlens[:, None], (b, sq))
+        )
+        q_ro = apply_rotary(q, cos, sin, q_pos, rotary_interleaved)
+        tk = jnp.arange(s_new, dtype=jnp.int32)[None, :]
+        k_ro = apply_rotary(k_new, cos, sin, cache_seqlens[:, None] + tk,
+                            rotary_interleaved)
+    if new_kv:
+        update = jnp.logical_and(
+            arange >= cache_seqlens[:, None], arange < cache_seqlens[:, None] + s_new
+        )
+        idx = jnp.clip(arange - cache_seqlens[:, None], 0, s_new - 1)
+        gathered_k = jnp.take_along_axis(k_ro, idx[:, :, None, None].repeat(
+            kc_ref.shape[2], 2).repeat(d, 3), axis=1)
+        gathered_v = jnp.take_along_axis(v_new, idx[:, :, None, None].repeat(
+            kc_ref.shape[2], 2).repeat(d, 3), axis=1)
+        kc_ref = jnp.where(update[:, :, None, None], gathered_k, kc_ref)
+        vc_ref = jnp.where(update[:, :, None, None], gathered_v, vc_ref)
+
+    bias = None
+    if alibi:
+        bias = attn_bias_from_alibi_slopes(
+            slopes, sq, sk, None, key_padding, causal=causal,
+            key_leftpad=cache_leftpad,
+        )
+
+    out_ref, _ = attention_ref(
+        q_ro, kc_ref, vc_ref, None, key_padding, bias, causal=causal,
+        window_size=window, key_leftpad=cache_leftpad,
+    )
+    out_lp, _ = attention_ref(
+        q_ro, kc_ref, vc_ref, None, key_padding, bias, causal=causal,
+        window_size=window, key_leftpad=cache_leftpad,
+        upcast=False, reorder_ops=True,
+    )
+
+    mult = 5.0 if alibi else 3.0
+    assert_close_2ref(out, out_ref, out_lp, mult=mult, atol=1e-5)
+
+    # exact cache mutation check (test.py:1591-1592)
+    if new_kv:
+        if paged:
+            pages_per_seq = block_table.shape[1]
+            kd = k_cache_out[np.asarray(block_table).reshape(-1)].reshape(
+                b, pages_per_seq * page, kc_ref.shape[2], d
+            )[:, :sk]
+            vd = v_cache_out[np.asarray(block_table).reshape(-1)].reshape(
+                b, pages_per_seq * page, vc_ref.shape[2], d
+            )[:, :sk]
+        else:
+            kd = k_cache_out[cache_batch_idx] if has_batch_idx else k_cache_out
+            vd = v_cache_out[cache_batch_idx] if has_batch_idx else v_cache_out
+        assert max_err(kd, kc_ref) <= 1e-3
+        assert max_err(vd, vc_ref) <= 1e-3
+    return out
+
+
+# ---- the reference's active kvcache grid (test.py:1310-1353), trimmed for
+# interpret-mode runtime ---------------------------------------------------
+
+@pytest.mark.parametrize("mha_type", ["mha", "gqa", "mqa"])
+@pytest.mark.parametrize("sq,sk", [(1, 128), (1, 339), (3, 1024), (64, 800)])
+def test_paged_decode(mha_type, sq, sk):
+    run_kvcache_case(sq, sk, mha_type=mha_type, causal=True, page=16)
+
+
+@pytest.mark.parametrize("sq,sk", [(1, 128), (64, 256)])
+def test_paged_block256(sq, sk):
+    run_kvcache_case(sq, sk, page=256, causal=True)
+
+
+def test_paged_noncausal():
+    run_kvcache_case(1, 339, causal=False)
+
+
+@pytest.mark.parametrize("window", [(16, 0), (32, 32)])
+def test_paged_local(window):
+    run_kvcache_case(3, 512, causal=False, window=window)
+
+
+def test_paged_num_splits():
+    run_kvcache_case(1, 800, num_splits=2)
+    run_kvcache_case(1, 800, num_splits=7)
+
+
+@pytest.mark.parametrize("rotary_interleaved", [True, False])
+def test_paged_append_rotary(rotary_interleaved):
+    run_kvcache_case(
+        16, 256, new_kv=True, rotary_fraction=0.5,
+        rotary_interleaved=rotary_interleaved, causal=True,
+    )
+
+
+def test_paged_append_full_rotary():
+    run_kvcache_case(8, 144, new_kv=True, rotary_fraction=1.0, causal=True)
+
+
+def test_paged_append_noncausal_rotary():
+    # non-causal: all q rows rotate at position cache_seqlens
+    run_kvcache_case(4, 128, new_kv=True, rotary_fraction=0.5, causal=False)
+
+
+def test_paged_alibi():
+    run_kvcache_case(3, 256, alibi=True, causal=True)
+
+
+def test_dense_cache():
+    run_kvcache_case(1, 339, paged=False, causal=True)
+    run_kvcache_case(64, 800, paged=False, causal=True)
+
+
+def test_dense_append():
+    run_kvcache_case(16, 256, paged=False, new_kv=True, causal=True)
+
+
+def test_dense_batch_idx():
+    run_kvcache_case(1, 339, paged=False, has_batch_idx=True, causal=True)
+    run_kvcache_case(
+        8, 256, paged=False, has_batch_idx=True, new_kv=True, causal=True
+    )
+
+
+def test_dense_leftpad():
+    run_kvcache_case(1, 339, paged=False, has_leftpad=True, causal=True, seed=5)
+    run_kvcache_case(8, 256, paged=False, has_leftpad=True, causal=True, seed=6)
+
+
+def test_bf16():
+    run_kvcache_case(1, 339, dtype=jnp.bfloat16)
+
+
+def test_scalar_cache_seqlens():
+    b, sq, h, d = 2, 1, 4, 64
+    q = rand(jax.random.PRNGKey(1), (b, sq, h, d), jnp.float16)
+    kc = rand(jax.random.PRNGKey(2), (b, 128, h, d), jnp.float16)
+    vc = rand(jax.random.PRNGKey(3), (b, 128, h, d), jnp.float16)
+    out, _, _ = flash_attn_with_kvcache(q, kc, vc, cache_seqlens=100, causal=True)
+    mask = jnp.arange(128)[None, :] < 100
+    out_ref, _ = attention_ref(q, kc, vc, key_padding_mask=mask, causal=True)
+    out_lp, _ = attention_ref(
+        q, kc, vc, key_padding_mask=mask, causal=True, upcast=False, reorder_ops=True
+    )
+    assert_close_2ref(out, out_ref, out_lp, mult=3.0)
