@@ -1,0 +1,157 @@
+"""Quantized KV cache + weight-only linear tests (BASELINE.json config 4):
+FP8-E4M3 / INT8 per-token-scaled KV with dequant fused into the paged
+attention tiles, accuracy vs the FP16/FP32 paged baseline."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from xf_flash_attention_cutlass_tpu.ops.kvcache import append_kv_paged_quantized
+from xf_flash_attention_cutlass_tpu.ops.paged import paged_attention
+from xf_flash_attention_cutlass_tpu.quant import (
+    QuantizedLinear,
+    dequantize_kv,
+    quantize_kv,
+    quantize_weight,
+    quantized_matmul,
+)
+from xf_flash_attention_cutlass_tpu.utils.testing import max_err, rand
+
+
+@pytest.mark.parametrize("qdt", ["int8", "fp8_e4m3"])
+def test_quantize_roundtrip(qdt):
+    x = rand(jax.random.PRNGKey(0), (4, 64, 128), jnp.float32, scale=3.0)
+    q, s = quantize_kv(x, qdt)
+    xr = dequantize_kv(q, s)
+    # per-token amax scaling: worst-case err = scale/2 (int8) per element
+    rel = max_err(x, xr) / float(jnp.max(jnp.abs(x)))
+    assert rel < (0.01 if qdt == "int8" else 0.05)
+
+
+def _paged_setup(seed, b=2, h=8, hk=2, d=128, page=16, sk=339, sq=1):
+    rng = np.random.default_rng(seed)
+    pages = (sk + page - 1) // page
+    nb = 2 * b * pages
+    kp = rand(jax.random.PRNGKey(1), (hk, nb, page, d), jnp.float32)
+    vp = rand(jax.random.PRNGKey(2), (hk, nb, page, d), jnp.float32)
+    bt = jnp.asarray(rng.permutation(nb)[: b * pages].reshape(b, pages), jnp.int32)
+    q = rand(jax.random.PRNGKey(3), (b, sq, h, d), jnp.float32)
+    kv_lens = jnp.asarray(rng.integers(1, sk + 1, (b,)), jnp.int32)
+    return q, kp, vp, bt, kv_lens
+
+
+@pytest.mark.parametrize("qdt", ["int8", "fp8_e4m3"])
+def test_paged_fused_dequant_matches_dequantized(qdt):
+    """Fused-dequant kernel == full-precision kernel on the dequantized pool
+    (same values through both paths -> tight tolerance)."""
+    q, kp, vp, bt, kv_lens = _paged_setup(0)
+    kq, ks = quantize_kv(kp, qdt)
+    vq, vs = quantize_kv(vp, qdt)
+    kd = dequantize_kv(kq, ks)
+    vd = dequantize_kv(vq, vs)
+    o_ref, lse_ref = paged_attention(q, kd, vd, bt, kv_lens, causal=True)
+    o_q, lse_q = paged_attention(
+        q, kq, vq, bt, kv_lens, causal=True, k_scales=ks, v_scales=vs
+    )
+    assert max_err(o_q, o_ref) < 1e-5
+    assert max_err(
+        jnp.where(jnp.isfinite(lse_q), lse_q, 0.0),
+        jnp.where(jnp.isfinite(lse_ref), lse_ref, 0.0),
+    ) < 1e-5
+
+
+@pytest.mark.parametrize("qdt", ["int8", "fp8_e4m3"])
+def test_paged_quant_accuracy_vs_fp32(qdt):
+    """End-to-end quantization error stays small vs the fp32 cache
+    (the Δ-vs-FP16-baseline check of BASELINE.json config 4)."""
+    q, kp, vp, bt, kv_lens = _paged_setup(1, sq=4)
+    o_ref, _ = paged_attention(q, kp, vp, bt, kv_lens, causal=True)
+    kq, ks = quantize_kv(kp, qdt)
+    vq, vs = quantize_kv(vp, qdt)
+    o_q, _ = paged_attention(
+        q, kq, vq, bt, kv_lens, causal=True, k_scales=ks, v_scales=vs
+    )
+    # bf16 cache baseline: what the same pipeline commits at 16-bit KV
+    o_bf, _ = paged_attention(
+        q, kp.astype(jnp.bfloat16), vp.astype(jnp.bfloat16), bt, kv_lens,
+        causal=True,
+    )
+    err_q = max_err(o_q, o_ref)
+    err_bf = max_err(o_bf, o_ref)
+    rel_q = err_q / float(jnp.max(jnp.abs(o_ref)))
+    if qdt == "int8":
+        # int8 + per-token scale carries ~7.5 effective mantissa bits —
+        # comparable to bf16's 8, so demand the same error class
+        assert err_q <= 4.0 * err_bf + 1e-4, (err_q, err_bf)
+    else:
+        # e4m3 has 3 mantissa bits (~6% element-wise worst case); softmax
+        # averaging keeps the output inside a few percent
+        assert rel_q < 0.06, (err_q, rel_q, err_bf)
+
+
+@pytest.mark.parametrize("qdt", ["int8", "fp8_e4m3"])
+def test_quantized_append(qdt):
+    b, s_new, hk, d, page = 2, 5, 2, 64, 16
+    nb, pages = 12, 4
+    kp = rand(jax.random.PRNGKey(0), (hk, nb, page, d), jnp.float32)
+    vp = rand(jax.random.PRNGKey(1), (hk, nb, page, d), jnp.float32)
+    kq, ks = quantize_kv(kp, qdt)
+    vq, vs = quantize_kv(vp, qdt)
+    bt = jnp.arange(b * pages, dtype=jnp.int32).reshape(b, pages)
+    seqlens = jnp.asarray([13, 30], jnp.int32)
+    kn = rand(jax.random.PRNGKey(2), (b, s_new, hk, d), jnp.float32)
+    vn = rand(jax.random.PRNGKey(3), (b, s_new, hk, d), jnp.float32)
+    kq2, ks2, vq2, vs2 = append_kv_paged_quantized(
+        kq, ks, vq, vs, kn, vn, bt, seqlens
+    )
+    kd = dequantize_kv(kq2, ks2)
+    # appended rows match the new tokens to quant precision
+    for bi in range(b):
+        for t in range(s_new):
+            pos = int(seqlens[bi]) + t
+            pg = int(bt[bi, pos // page])
+            row = pos % page
+            got = kd[:, pg, row]
+            want = kn[bi, t].swapaxes(0, 0).transpose(0, 1)  # (hk, d)
+            # element-wise quant error: scale/2 (int8) vs ~6% of |x| (e4m3)
+            assert max_err(got, want) < (0.02 if qdt == "int8" else 0.25)
+
+
+def test_quantized_matmul_matches_dequant():
+    x = rand(jax.random.PRNGKey(0), (64, 256), jnp.float32)
+    w = rand(jax.random.PRNGKey(1), (256, 512), jnp.float32)
+    wq, s = quantize_weight(w)
+    y = quantized_matmul(x, wq, s)
+    y_ref = x @ (wq.astype(jnp.float32) * s[None, :])
+    assert max_err(y, y_ref) < 1e-4
+
+
+def test_quantized_matmul_unaligned():
+    x = rand(jax.random.PRNGKey(0), (7, 100), jnp.float32)
+    w = rand(jax.random.PRNGKey(1), (100, 300), jnp.float32)
+    wq, s = quantize_weight(w)
+    y = quantized_matmul(x, wq, s)
+    y_ref = x @ (wq.astype(jnp.float32) * s[None, :])
+    assert y.shape == (7, 300)
+    assert max_err(y, y_ref) < 1e-4
+
+
+def test_quantized_linear_accuracy():
+    x = rand(jax.random.PRNGKey(0), (32, 512), jnp.float32)
+    w = rand(jax.random.PRNGKey(1), (512, 512), jnp.float32, scale=0.05)
+    b = rand(jax.random.PRNGKey(2), (512,), jnp.float32)
+    layer = QuantizedLinear.from_weight(w, bias=b)
+    y = layer(x)
+    y_full = x @ w + b
+    rel = max_err(y, y_full) / float(jnp.max(jnp.abs(y_full)))
+    assert rel < 0.02  # int8 weight-only error budget
+
+
+def test_quantized_linear_pytree():
+    w = rand(jax.random.PRNGKey(1), (64, 64), jnp.float32)
+    layer = QuantizedLinear.from_weight(w)
+    leaves, treedef = jax.tree_util.tree_flatten(layer)
+    layer2 = jax.tree_util.tree_unflatten(treedef, leaves)
+    x = rand(jax.random.PRNGKey(0), (8, 64), jnp.float32)
+    assert max_err(layer(x), layer2(x)) == 0.0

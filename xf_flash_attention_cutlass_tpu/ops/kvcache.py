@@ -62,6 +62,41 @@ def append_kv_paged(
     return k_pool, v_pool
 
 
+def append_kv_paged_quantized(
+    k_pool: jax.Array,  # (h_k, num_pages, page, d) int8/fp8 values
+    k_scales: jax.Array,  # (h_k, num_pages, page, 1) f32
+    v_pool: jax.Array,
+    v_scales: jax.Array,
+    k_new: jax.Array,  # (b, s_new, h_k, d) full precision
+    v_new: jax.Array,
+    block_tables: jax.Array,
+    cache_seqlens: jax.Array,
+):
+    """Quantize new tokens per-token and scatter values + scales."""
+    from xf_flash_attention_cutlass_tpu.quant.kv import quantize_kv
+
+    h_k, num_pages, page, d = k_pool.shape
+    b, s_new, _, _ = k_new.shape
+    t = jnp.arange(s_new, dtype=jnp.int32)[None, :]
+    pos = cache_seqlens.astype(jnp.int32)[:, None] + t
+    logical_page = pos // page
+    row = (pos % page).reshape(-1)
+    pe = jnp.take_along_axis(
+        block_tables.astype(jnp.int32), logical_page, axis=1
+    ).reshape(-1)
+    kq, ks = quantize_kv(
+        k_new.transpose(2, 0, 1, 3).reshape(h_k, b * s_new, d), k_pool.dtype
+    )
+    vq, vs = quantize_kv(
+        v_new.transpose(2, 0, 1, 3).reshape(h_k, b * s_new, d), v_pool.dtype
+    )
+    k_pool = k_pool.at[:, pe, row].set(kq)
+    v_pool = v_pool.at[:, pe, row].set(vq)
+    k_scales = k_scales.at[:, pe, row].set(ks)
+    v_scales = v_scales.at[:, pe, row].set(vs)
+    return k_pool, k_scales, v_pool, v_scales
+
+
 def append_kv_dense(
     k_cache: jax.Array,  # (b_cache, sk, h_k, d)
     v_cache: jax.Array,

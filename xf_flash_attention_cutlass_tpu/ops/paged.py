@@ -60,6 +60,7 @@ class PagedParams:
     softcap: float
     has_alibi: bool
     has_leftpad: bool
+    kv_quant: bool = False  # K/V arrive int8/fp8 with per-token scales
 
 
 def _paged_kernel(params: PagedParams, *refs):
@@ -71,6 +72,8 @@ def _paged_kernel(params: PagedParams, *refs):
     q_ref = next(it)  # (1, 1, rows, d)
     k_ref = next(it)  # (1, 1, page, d)
     v_ref = next(it)
+    ks_ref = next(it) if params.kv_quant else None  # (1, 1, page, 1) f32
+    vs_ref = next(it) if params.kv_quant else None
     alibi_ref = next(it) if params.has_alibi else None  # (1, 1, rows, 1) f32
     o_ref = next(it)  # (1, 1, 1, rows, d) f32
     lse_ref = next(it)  # (1, 1, 1, rows, 1) f32
@@ -120,6 +123,13 @@ def _paged_kernel(params: PagedParams, *refs):
     def _body():
         q = q_ref[0, 0]  # (rows, d)
         k = k_ref[0, 0]  # (page, d)
+        if params.kv_quant:
+            # dequant fused into the QK^T tile: int8/fp8 values upcast in
+            # VMEM and scaled per token — HBM traffic stays at the quantized
+            # width (the point: decode is bandwidth-bound). Cf. the unused
+            # int8 MFMA atoms the reference intended for this
+            # (mma_gfx928.hpp:299-341).
+            k = k.astype(jnp.float32) * ks_ref[0, 0]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
@@ -153,9 +163,15 @@ def _paged_kernel(params: PagedParams, *refs):
         p = jnp.where(keep, p, 0.0)
         corr = jnp.exp(m_prev - m_new)
         l_scr[...] = l_scr[...] * corr + jnp.sum(p, axis=1, keepdims=True)
+        if params.kv_quant:
+            v = v_ref[0, 0].astype(jnp.float32) * vs_ref[0, 0]
+            p = p.astype(jnp.float32)
+        else:
+            v = v_ref[0, 0]
+            p = p.astype(v_ref.dtype)
         acc_scr[...] = acc_scr[...] * corr + jax.lax.dot_general(
-            p.astype(v_ref.dtype),
-            v_ref[0, 0],
+            p,
+            v,
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
@@ -187,18 +203,23 @@ def paged_attention(
     alibi_slopes: Optional[jax.Array] = None,  # (b, h) or (h,) f32
     cache_leftpad: Optional[jax.Array] = None,  # (b,) int32
     num_splits: int = 0,
+    k_scales: Optional[jax.Array] = None,  # (h_k, num_pages, page, 1) f32
+    v_scales: Optional[jax.Array] = None,
     interpret: Optional[bool] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Paged-KV attention over new query tokens. Returns (O, LSE).
 
     O: (b, sq, h, d) in q.dtype; LSE: (b, h, sq) fp32 natural log.
+    When k_scales/v_scales are given, k_pool/v_pool hold int8 or fp8-e4m3
+    values and dequant is fused into the attention tiles (quant/kv.py).
     """
     if interpret is None:
         interpret = default_interpret()
+    kv_quant = k_scales is not None
     out_dtype = q.dtype
     if not interpret and q.dtype == jnp.float16:
         q = q.astype(jnp.float32)
-    if not interpret and k_pool.dtype == jnp.float16:
+    if not kv_quant and not interpret and k_pool.dtype == jnp.float16:
         k_pool = k_pool.astype(jnp.float32)
         v_pool = v_pool.astype(jnp.float32)
     b, sq, h, d = q.shape
@@ -265,6 +286,7 @@ def paged_attention(
         softcap=float(softcap),
         has_alibi=has_alibi,
         has_leftpad=has_leftpad,
+        kv_quant=kv_quant,
     )
 
     def _page_index(ib, ihk, isplit, ip, bt_ref, lens_ref, *maybe_lp):
@@ -286,6 +308,18 @@ def paged_attention(
         pl.BlockSpec((1, 1, page_pad, d_pad), _page_index),
     ]
     inputs = [qg, k_pool, v_pool]
+    if kv_quant:
+        if page_pad != page:
+            k_scales = jnp.pad(
+                k_scales, ((0, 0), (0, 0), (0, page_pad - page), (0, 0))
+            )
+            v_scales = jnp.pad(
+                v_scales, ((0, 0), (0, 0), (0, page_pad - page), (0, 0))
+            )
+        in_specs.append(pl.BlockSpec((1, 1, page_pad, 1), _page_index))
+        in_specs.append(pl.BlockSpec((1, 1, page_pad, 1), _page_index))
+        inputs.append(k_scales.astype(jnp.float32))
+        inputs.append(v_scales.astype(jnp.float32))
     if has_alibi:
         in_specs.append(pl.BlockSpec((1, 1, rows, 1), _q_index))
         inputs.append(alibi_rows)

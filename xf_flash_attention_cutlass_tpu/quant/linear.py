@@ -1,0 +1,145 @@
+"""INT8 weight-only projections (QKV/O and MLP matmuls).
+
+BASELINE.json: "INT8 weight-only QKV/O proj + FP8 paged KV". Weights are
+stored int8 with one fp32 scale per output channel; activations stay
+bf16/f32. The dequant is fused into the matmul tiles by a Pallas kernel —
+the int8 weight block is upcast in VMEM right before the MXU dot, so HBM
+only ever sees 1 byte/weight (a plain `wq.astype(bf16)` before `jnp.dot`
+would let XLA materialize a full-width weight copy in HBM and forfeit the
+bandwidth win).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from xf_flash_attention_cutlass_tpu.utils import cdiv, default_interpret, next_multiple
+
+
+def quantize_weight(
+    w: jax.Array,  # (d_in, d_out)
+    quant_dtype=jnp.int8,
+) -> Tuple[jax.Array, jax.Array]:
+    """Symmetric per-output-channel quantization. Returns (w_q, scale(d_out,))."""
+    wf = w.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(wf), axis=0)
+    if quant_dtype == jnp.int8:
+        qmax = 127.0
+    elif quant_dtype == jnp.float8_e4m3fn:
+        qmax = 448.0
+    else:
+        raise ValueError(f"unsupported weight quant dtype {quant_dtype}")
+    scale = jnp.where(amax > 0, amax / qmax, 1.0)
+    y = wf / scale[None, :]
+    if quant_dtype == jnp.int8:
+        wq = jnp.clip(jnp.round(y), -127.0, 127.0).astype(jnp.int8)
+    else:
+        wq = jnp.clip(y, -qmax, qmax).astype(quant_dtype)
+    return wq, scale.astype(jnp.float32)
+
+
+def _qmm_kernel(nk: int, x_ref, w_ref, s_ref, o_ref, acc_scr):
+    ik = pl.program_id(2)
+
+    @pl.when(ik == 0)
+    def _():
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    acc_scr[...] += jax.lax.dot_general(
+        x_ref[...],
+        w_ref[...].astype(x_ref.dtype),  # dequant (sans scale) in VMEM
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(ik == nk - 1)
+    def _():
+        o_ref[...] = (acc_scr[...] * s_ref[...]).astype(o_ref.dtype)
+
+
+def quantized_matmul(
+    x: jax.Array,  # (..., d_in) bf16/f32 activations
+    w_q: jax.Array,  # (d_in, d_out) int8 / fp8
+    scale: jax.Array,  # (d_out,) f32
+    *,
+    block_m: int = 256,
+    block_n: int = 512,
+    block_k: int = 512,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """y = x @ (w_q * scale) with dequant fused into the matmul tiles."""
+    if interpret is None:
+        interpret = default_interpret()
+    orig_shape = x.shape
+    d_in, d_out = w_q.shape
+    x2 = x.reshape(-1, d_in)
+    m = x2.shape[0]
+
+    bm = min(block_m, max(next_multiple(m, 8), 8))
+    bn = min(block_n, max(next_multiple(d_out, 128), 128))
+    bk = min(block_k, max(next_multiple(d_in, 128), 128))
+    m_pad = next_multiple(m, bm)
+    n_pad = next_multiple(d_out, bn)
+    k_pad = next_multiple(d_in, bk)
+    if (m_pad, k_pad) != x2.shape:
+        x2 = jnp.pad(x2, ((0, m_pad - m), (0, k_pad - d_in)))
+    wp = w_q
+    if (k_pad, n_pad) != w_q.shape:
+        wp = jnp.pad(w_q, ((0, k_pad - d_in), (0, n_pad - d_out)))
+    sp = scale.astype(jnp.float32).reshape(1, -1)
+    if n_pad != d_out:
+        sp = jnp.pad(sp, ((0, 0), (0, n_pad - d_out)))
+
+    nk = k_pad // bk
+    out = pl.pallas_call(
+        functools.partial(_qmm_kernel, nk),
+        grid=(m_pad // bm, n_pad // bn, nk),
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda im, jn, ik: (im, ik)),
+            pl.BlockSpec((bk, bn), lambda im, jn, ik: (ik, jn)),
+            pl.BlockSpec((1, bn), lambda im, jn, ik: (0, jn)),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda im, jn, ik: (im, jn)),
+        out_shape=jax.ShapeDtypeStruct((m_pad, n_pad), x.dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(x2, wp, sp)
+    return out[:m, :d_out].reshape(*orig_shape[:-1], d_out)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class QuantizedLinear:
+    """Weight-only quantized linear layer: y = x @ (w_q * scale) + bias."""
+
+    w_q: jax.Array  # (d_in, d_out) int8/fp8
+    scale: jax.Array  # (d_out,) f32
+    bias: Optional[jax.Array] = None
+
+    @classmethod
+    def from_weight(cls, w: jax.Array, bias=None, quant_dtype=jnp.int8):
+        wq, s = quantize_weight(w, quant_dtype)
+        return cls(wq, s, bias)
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        y = quantized_matmul(x, self.w_q, self.scale)
+        if self.bias is not None:
+            y = y + self.bias.astype(y.dtype)
+        return y
+
+    def tree_flatten(self):
+        return (self.w_q, self.scale, self.bias), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
