@@ -1,0 +1,8 @@
+from xf_flash_attention_cutlass_tpu.parallel.mesh import make_mesh  # noqa: F401
+from xf_flash_attention_cutlass_tpu.parallel.tp import (  # noqa: F401
+    param_partition_specs,
+    shard_params,
+    tp_forward,
+    tp_loss_and_grad,
+)
+from xf_flash_attention_cutlass_tpu.parallel.ring import ring_attention  # noqa: F401
