@@ -38,10 +38,10 @@ def main():
     num_pages = B * pages_per_seq + 16
 
     kp = jax.random.normal(
-        jax.random.PRNGKey(0), (H_K, num_pages, PAGE, D), jnp.bfloat16
+        jax.random.PRNGKey(0), (num_pages, H_K, PAGE, D), jnp.bfloat16
     )
     vp = jax.random.normal(
-        jax.random.PRNGKey(1), (H_K, num_pages, PAGE, D), jnp.bfloat16
+        jax.random.PRNGKey(1), (num_pages, H_K, PAGE, D), jnp.bfloat16
     )
     kq, ks = quantize_kv(kp, "fp8_e4m3")
     vq, vs = quantize_kv(vp, "fp8_e4m3")
@@ -76,10 +76,15 @@ def main():
         return time.perf_counter() - t0
 
     chain(3)  # warmup (compile + cache)
-    k1, k2 = 5, 45
-    t1 = min(chain(k1) for _ in range(3))
-    t2 = min(chain(k2) for _ in range(3))
-    t_layer = max((t2 - t1) / (k2 - k1), 1e-9)
+    # tunnel round-trips carry ~10ms of jitter, so the span between the two
+    # chain lengths must be long enough (200 steps) to dominate it
+    k1, k2 = 10, 210
+    trials = []
+    for _ in range(3):
+        t1 = min(chain(k1) for _ in range(2))
+        t2 = min(chain(k2) for _ in range(2))
+        trials.append((t2 - t1) / (k2 - k1))
+    t_layer = max(float(np.median(trials)), 1e-9)
 
     # bytes the step must move: live K+V values (1B fp8) + per-token scales
     live_tokens = int(np.sum(np.asarray(kv_lens)))

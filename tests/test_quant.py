@@ -33,8 +33,8 @@ def _paged_setup(seed, b=2, h=8, hk=2, d=128, page=16, sk=339, sq=1):
     rng = np.random.default_rng(seed)
     pages = (sk + page - 1) // page
     nb = 2 * b * pages
-    kp = rand(jax.random.PRNGKey(1), (hk, nb, page, d), jnp.float32)
-    vp = rand(jax.random.PRNGKey(2), (hk, nb, page, d), jnp.float32)
+    kp = rand(jax.random.PRNGKey(1), (nb, hk, page, d), jnp.float32)
+    vp = rand(jax.random.PRNGKey(2), (nb, hk, page, d), jnp.float32)
     bt = jnp.asarray(rng.permutation(nb)[: b * pages].reshape(b, pages), jnp.int32)
     q = rand(jax.random.PRNGKey(3), (b, sq, h, d), jnp.float32)
     kv_lens = jnp.asarray(rng.integers(1, sk + 1, (b,)), jnp.int32)
@@ -94,8 +94,8 @@ def test_paged_quant_accuracy_vs_fp32(qdt):
 def test_quantized_append(qdt):
     b, s_new, hk, d, page = 2, 5, 2, 64, 16
     nb, pages = 12, 4
-    kp = rand(jax.random.PRNGKey(0), (hk, nb, page, d), jnp.float32)
-    vp = rand(jax.random.PRNGKey(1), (hk, nb, page, d), jnp.float32)
+    kp = rand(jax.random.PRNGKey(0), (nb, hk, page, d), jnp.float32)
+    vp = rand(jax.random.PRNGKey(1), (nb, hk, page, d), jnp.float32)
     kq, ks = quantize_kv(kp, qdt)
     vq, vs = quantize_kv(vp, qdt)
     bt = jnp.arange(b * pages, dtype=jnp.int32).reshape(b, pages)
@@ -112,7 +112,7 @@ def test_quantized_append(qdt):
             pos = int(seqlens[bi]) + t
             pg = int(bt[bi, pos // page])
             row = pos % page
-            got = kd[:, pg, row]
+            got = kd[pg, :, row]
             want = kn[bi, t].swapaxes(0, 0).transpose(0, 1)  # (hk, d)
             # element-wise quant error: scale/2 (int8) vs ~6% of |x| (e4m3)
             assert max_err(got, want) < (0.02 if qdt == "int8" else 0.25)

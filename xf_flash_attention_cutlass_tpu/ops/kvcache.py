@@ -38,7 +38,7 @@ DEFAULT_PAGE = 256  # page rows used when viewing a dense cache as paged
 
 
 def append_kv_paged(
-    k_pool: jax.Array,  # (h_k, num_pages, page, d)
+    k_pool: jax.Array,  # (num_pages, h_k, page, d)
     v_pool: jax.Array,
     k_new: jax.Array,  # (b, s_new, h_k, d)
     v_new: jax.Array,
@@ -46,7 +46,7 @@ def append_kv_paged(
     cache_seqlens: jax.Array,  # (b,) int32 — insert position per batch
 ) -> Tuple[jax.Array, jax.Array]:
     """Scatter new tokens into the paged pool (internal layout)."""
-    h_k, num_pages, page, d = k_pool.shape
+    num_pages, h_k, page, d = k_pool.shape
     b, s_new, _, _ = k_new.shape
     t = jnp.arange(s_new, dtype=jnp.int32)[None, :]  # (1, s_new)
     pos = cache_seqlens.astype(jnp.int32)[:, None] + t  # (b, s_new)
@@ -55,16 +55,16 @@ def append_kv_paged(
     pe = jnp.take_along_axis(
         block_tables.astype(jnp.int32), logical_page, axis=1
     ).reshape(-1)
-    kv = k_new.transpose(2, 0, 1, 3).reshape(h_k, b * s_new, d)
-    vv = v_new.transpose(2, 0, 1, 3).reshape(h_k, b * s_new, d)
-    k_pool = k_pool.at[:, pe, row].set(kv.astype(k_pool.dtype))
-    v_pool = v_pool.at[:, pe, row].set(vv.astype(v_pool.dtype))
+    kv = k_new.reshape(b * s_new, h_k, d)
+    vv = v_new.reshape(b * s_new, h_k, d)
+    k_pool = k_pool.at[pe, :, row].set(kv.astype(k_pool.dtype))
+    v_pool = v_pool.at[pe, :, row].set(vv.astype(v_pool.dtype))
     return k_pool, v_pool
 
 
 def append_kv_paged_quantized(
-    k_pool: jax.Array,  # (h_k, num_pages, page, d) int8/fp8 values
-    k_scales: jax.Array,  # (h_k, num_pages, page, 1) f32
+    k_pool: jax.Array,  # (num_pages, h_k, page, d) int8/fp8 values
+    k_scales: jax.Array,  # (num_pages, h_k, page) f32
     v_pool: jax.Array,
     v_scales: jax.Array,
     k_new: jax.Array,  # (b, s_new, h_k, d) full precision
@@ -75,7 +75,11 @@ def append_kv_paged_quantized(
     """Quantize new tokens per-token and scatter values + scales."""
     from xf_flash_attention_cutlass_tpu.quant.kv import quantize_kv
 
-    h_k, num_pages, page, d = k_pool.shape
+    squeeze = k_scales.ndim == 4  # accept (..., 1) from quantize_kv
+    if squeeze:
+        k_scales = k_scales[..., 0]
+        v_scales = v_scales[..., 0]
+    num_pages, h_k, page, d = k_pool.shape
     b, s_new, _, _ = k_new.shape
     t = jnp.arange(s_new, dtype=jnp.int32)[None, :]
     pos = cache_seqlens.astype(jnp.int32)[:, None] + t
@@ -84,16 +88,15 @@ def append_kv_paged_quantized(
     pe = jnp.take_along_axis(
         block_tables.astype(jnp.int32), logical_page, axis=1
     ).reshape(-1)
-    kq, ks = quantize_kv(
-        k_new.transpose(2, 0, 1, 3).reshape(h_k, b * s_new, d), k_pool.dtype
-    )
-    vq, vs = quantize_kv(
-        v_new.transpose(2, 0, 1, 3).reshape(h_k, b * s_new, d), v_pool.dtype
-    )
-    k_pool = k_pool.at[:, pe, row].set(kq)
-    v_pool = v_pool.at[:, pe, row].set(vq)
-    k_scales = k_scales.at[:, pe, row].set(ks)
-    v_scales = v_scales.at[:, pe, row].set(vs)
+    kq, ks = quantize_kv(k_new.reshape(b * s_new, h_k, d), k_pool.dtype)
+    vq, vs = quantize_kv(v_new.reshape(b * s_new, h_k, d), v_pool.dtype)
+    k_pool = k_pool.at[pe, :, row].set(kq)
+    v_pool = v_pool.at[pe, :, row].set(vq)
+    k_scales = k_scales.at[pe, :, row].set(ks[..., 0])
+    v_scales = v_scales.at[pe, :, row].set(vs[..., 0])
+    if squeeze:
+        k_scales = k_scales[..., None]
+        v_scales = v_scales[..., None]
     return k_pool, k_scales, v_pool, v_scales
 
 
@@ -126,15 +129,15 @@ def append_kv_dense(
 def dense_cache_as_paged(
     cache: jax.Array, page: int = DEFAULT_PAGE
 ) -> Tuple[jax.Array, int]:
-    """(b, sk, h_k, d) -> internal pool (h_k, b*pages, page, d); returns
+    """(b, sk, h_k, d) -> internal pool (b*pages, h_k, page, d); returns
     (pool, pages_per_seq). Padding rows are masked by kv_lens downstream."""
     b, sk, h_k, d = cache.shape
     sk_pad = next_multiple(sk, page)
     if sk_pad != sk:
         cache = jnp.pad(cache, ((0, 0), (0, sk_pad - sk), (0, 0), (0, 0)))
     pages = sk_pad // page
-    pool = cache.reshape(b, pages, page, h_k, d).transpose(3, 0, 1, 2, 4)
-    return pool.reshape(h_k, b * pages, page, d), pages
+    pool = cache.reshape(b, pages, page, h_k, d).transpose(0, 1, 3, 2, 4)
+    return pool.reshape(b * pages, h_k, page, d), pages
 
 
 def attention_with_kvcache(
@@ -206,15 +209,15 @@ def attention_with_kvcache(
         page = k_cache.shape[1]
         num_blocks = k_cache.shape[0]
         # reference layout (num_blocks, page, h_k, d) -> internal
-        k_pool = k_cache.transpose(2, 0, 1, 3)
-        v_pool = v_cache.transpose(2, 0, 1, 3)
+        k_pool = k_cache.transpose(0, 2, 1, 3)
+        v_pool = v_cache.transpose(0, 2, 1, 3)
         bt = block_table.astype(jnp.int32)
         if k_new is not None:
             k_pool, v_pool = append_kv_paged(
                 k_pool, v_pool, k_new, v_new, bt, cache_seqlens
             )
-        k_cache_out = k_pool.transpose(1, 2, 0, 3)
-        v_cache_out = v_pool.transpose(1, 2, 0, 3)
+        k_cache_out = k_pool.transpose(0, 2, 1, 3)
+        v_cache_out = v_pool.transpose(0, 2, 1, 3)
     else:
         if k_new is not None:
             k_cache, v_cache = append_kv_dense(

@@ -6,27 +6,29 @@ TPU-native re-design of the reference's splitKV/paged forward
 LSE-weighted split combine (`combine_attn_seqk_parallel`, :1362-1607 — fixed
 here; the snapshot shipped it with the LSE load commented out).
 
-Design (TPU-first, not a translation):
-- The KV pool lives in HBM as ``(kv_heads, num_pages, page_size, head_dim)``
-  so a page block is a well-tiled ``(page_size, d)`` VMEM tile. (The
-  reference's pool is (num_blocks, page, h_k, d) — that order would put the
-  page rows on a non-tiled axis; the public wrapper transposes.)
-- The block table is a **scalar-prefetch** argument
-  (``pltpu.PrefetchScalarGridSpec``): the page index feeds the K/V BlockSpec
-  index maps, so Mosaic's pipeline DMAs pages ahead of compute — the analog
-  of `resolve_thread_kv_page_slice_offset` (utils.h:498-526) without any
-  per-thread address math.
-- Pages past a sequence's length are clamped in the index map to the last
-  live page: consecutive grid steps then map to the same block and Mosaic
-  skips the redundant DMA entirely (the analog of the reference's
-  n_block_max trim).
-- Split-KV is grid axis 2; each split writes fp32 (O, LSE) partials and the
-  host-side ``combine_partials`` merges them (ops/combine.py). On TPU splits
-  mainly buy Megacore parallelism when batch*kv_heads is small.
-- GQA: q is reshaped to (b, kv_heads, g*sq, d) so one kernel invocation
-  serves a whole KV-head group — the TPU analog of the reference's
-  `seqlenq_ngroups_swapped` decode swap (export.cpp:524-532), except it is
-  a free reshape here, not a kernel-level transpose.
+Architecture (v2 — built for the HBM roofline):
+- KV pool layout is ``(num_pages, kv_heads, page_size, head_dim)``: one page
+  across ALL KV heads is a single fully-contiguous 256KB-class chunk, fetched
+  by one DMA. (v1 used a BlockSpec per (head, page) → 4096 grid steps of
+  32KB; grid-step overhead capped it at ~4% of roofline.)
+- Grid is just ``(batch, n_splits)``. Inside the kernel a `fori_loop` walks
+  this split's live pages with **manual double-buffered async DMA**
+  (pallas_guide.md "Double Buffering"): the next page streams from HBM while
+  the current one feeds the MXU — the analog of the reference's K-prefetch
+  pipeline (flash_fwd_kernel.h:1016-1120), with the block-table indirection
+  of `resolve_thread_kv_page_slice_offset` (utils.h:498-526) done as one
+  scalar read per page.
+- Scalar-prefetched block table / lengths live in SMEM; dead pages are never
+  fetched (loop bound = live page count, window start folded in).
+- Split-KV partials (fp32 O, LSE) are merged host-side by
+  ``combine_partials`` — on TPU splits buy Megacore parallelism when
+  batch is small.
+- GQA decode swap: q is (b, kv_heads, group*sq, d); one batched MXU
+  contraction per page serves every KV head (export.cpp:524-532's
+  `seqlenq_ngroups_swapped`, as a free reshape).
+- Quantized pools (int8 / fp8-e4m3, quant/kv.py): per-token scales ride in
+  the page DMA and dequant happens in VMEM right before the dots, so HBM
+  traffic stays at 1 byte/elem.
 """
 
 from __future__ import annotations
@@ -52,6 +54,8 @@ class PagedParams:
     seq_q: int  # true number of new query tokens per batch entry
     group: int  # q heads per kv head
     rows: int  # padded q rows per kv head (>= group*seq_q)
+    kv_heads: int
+    head_dim: int
     page_size: int
     pages_per_split: int
     scale: float
@@ -60,139 +64,202 @@ class PagedParams:
     softcap: float
     has_alibi: bool
     has_leftpad: bool
-    kv_quant: bool = False  # K/V arrive int8/fp8 with per-token scales
+    kv_quant: bool
+    # logical pages fetched + computed per pipeline step: amortizes DMA
+    # issue, semaphore and matmul-launch overhead over ~1MB bursts
+    pages_per_burst: int = 1
 
 
 def _paged_kernel(params: PagedParams, *refs):
-    """Grid: (batch, kv_head, split, page-within-split)."""
+    """Grid: (batch, split). Walks the split's live pages with 2-slot DMA."""
     it = iter(refs)
     block_tables_ref = next(it)  # scalar prefetch (b, max_pages)
     kv_lens_ref = next(it)  # scalar prefetch (b,)
     leftpad_ref = next(it) if params.has_leftpad else None  # scalar (b,)
-    q_ref = next(it)  # (1, 1, rows, d)
-    k_ref = next(it)  # (1, 1, page, d)
-    v_ref = next(it)
-    ks_ref = next(it) if params.kv_quant else None  # (1, 1, page, 1) f32
-    vs_ref = next(it) if params.kv_quant else None
-    alibi_ref = next(it) if params.has_alibi else None  # (1, 1, rows, 1) f32
-    o_ref = next(it)  # (1, 1, 1, rows, d) f32
-    lse_ref = next(it)  # (1, 1, 1, rows, 1) f32
-    m_scr = next(it)
+    q_ref = next(it)  # (1, h_k, rows, d) VMEM
+    k_hbm = next(it)  # (num_pages, h_k, page, d) ANY/HBM
+    v_hbm = next(it)
+    ks_hbm = next(it) if params.kv_quant else None  # (num_pages, h_k, page) f32
+    vs_hbm = next(it) if params.kv_quant else None
+    alibi_ref = next(it) if params.has_alibi else None  # (1, h_k, rows, 1) f32
+    o_ref = next(it)  # (1, 1, h_k, rows, d) f32
+    lse_ref = next(it)  # (1, 1, h_k, rows) f32
+    k_buf = next(it)  # (2, h_k, page, d) VMEM scratch (kv dtype)
+    v_buf = next(it)
+    ks_buf = next(it) if params.kv_quant else None  # (2, h_k, page) f32
+    vs_buf = next(it) if params.kv_quant else None
+    m_scr = next(it)  # (h_k, rows, 1) f32
     l_scr = next(it)
-    acc_scr = next(it)
+    acc_scr = next(it)  # (h_k, rows, d) f32
+    sems = next(it)  # DMA sems (2, 4)
 
     ib = pl.program_id(0)
-    isplit = pl.program_id(2)
-    ip = pl.program_id(3)
+    isplit = pl.program_id(1)
     pps = params.pages_per_split
     page = params.page_size
     rows = params.rows
     g = params.group
     sq = params.seq_q
-
-    @pl.when(ip == 0)
-    def _init():
-        m_scr[...] = jnp.full_like(m_scr, NEG_INF)
-        l_scr[...] = jnp.zeros_like(l_scr)
-        acc_scr[...] = jnp.zeros_like(acc_scr)
+    h_k = params.kv_heads
+    pb = params.pages_per_burst
+    burst = pb * page  # key columns per pipeline step
 
     kv_len = kv_lens_ref[ib]
     leftpad = leftpad_ref[ib] if params.has_leftpad else 0
-    page_idx = isplit * pps + ip
-    kv_start = page_idx * page
-
-    # q row r covers (token t = r // g, group lane = r % g); its key-space
-    # position is kv_len - sq + t. Padding rows (r >= g*sq) emit zeros.
-    row_i = jax.lax.broadcasted_iota(jnp.int32, (rows, page), 0)
-    col_i = jax.lax.broadcasted_iota(jnp.int32, (rows, page), 1)
-    qpos = kv_len - sq + jnp.minimum(row_i // g, sq - 1)
-    kcol = kv_start + col_i
-
     wl, wr = params.window
     if params.causal:
         wr = 0
 
-    live = kv_start < kv_len
-    if params.causal or wr >= 0:
-        live = jnp.logical_and(live, kv_start <= kv_len - 1 + max(wr, 0))
+    # ---- live-page range for this split ------------------------------
+    n_live_total = pl.cdiv(kv_len, page)  # pages holding any visible key
+    lo = isplit * pps
     if wl >= 0:
-        # earliest visible key for the first q row
-        live = jnp.logical_and(live, kv_start + page - 1 >= kv_len - sq - wl)
+        # sliding window: pages entirely left of the earliest visible key
+        # (for the first q row, kv_len - sq - wl) are skipped; stay
+        # burst-aligned so column indexing below remains uniform
+        first_col = jnp.maximum(kv_len - sq - wl, 0)
+        lo = jnp.maximum(lo, (first_col // (page * pb)) * pb)
+    hi = jnp.minimum((isplit + 1) * pps, n_live_total)
+    n_pages = jnp.maximum(hi - lo, 0)
+    n_bursts = pl.cdiv(n_pages, pb)
 
-    @pl.when(live)
-    def _body():
-        q = q_ref[0, 0]  # (rows, d)
-        k = k_ref[0, 0]  # (page, d)
-        if params.kv_quant:
-            # dequant fused into the QK^T tile: int8/fp8 values upcast in
-            # VMEM and scaled per token — HBM traffic stays at the quantized
-            # width (the point: decode is bandwidth-bound). Cf. the unused
-            # int8 MFMA atoms the reference intended for this
-            # (mma_gfx928.hpp:299-341).
-            k = k.astype(jnp.float32) * ks_ref[0, 0]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        s = s * params.scale
-        if params.softcap > 0.0:
-            s = jnp.tanh(s / params.softcap) * params.softcap
-
-        keep = kcol < kv_len
-        if params.causal or wr >= 0:
-            keep = jnp.logical_and(keep, kcol <= qpos + max(wr, 0))
-        if wl >= 0:
-            keep = jnp.logical_and(keep, kcol >= qpos - wl)
-        if params.has_leftpad:
-            keep = jnp.logical_and(keep, kcol >= leftpad)
-
-        if params.has_alibi:
-            slope = alibi_ref[0, 0]  # (rows, 1)
-            kcol_eff = (
-                jnp.where(kcol >= leftpad, kcol - leftpad, 2**30)
-                if params.has_leftpad
-                else kcol
+    def dma(slot, i):
+        """Async copies for burst i: pb logical pages -> one VMEM window."""
+        copies = []
+        for j in range(pb):
+            # tail pages past the live range re-fetch the last live page
+            # (cheap; their columns are masked out)
+            pj = jnp.minimum(lo + i * pb + j, jnp.maximum(hi - 1, 0))
+            pe = block_tables_ref[ib, pj]
+            sl = slice(j * page, (j + 1) * page)
+            copies.append(
+                pltpu.make_async_copy(
+                    k_hbm.at[pe], k_buf.at[slot, :, sl], sems.at[slot, 0]
+                )
             )
-            qpos_eff = qpos - leftpad if params.has_leftpad else qpos
-            s = s - slope * jnp.abs(qpos_eff - kcol_eff).astype(jnp.float32)
+            copies.append(
+                pltpu.make_async_copy(
+                    v_hbm.at[pe], v_buf.at[slot, :, sl], sems.at[slot, 1]
+                )
+            )
+            if params.kv_quant:
+                copies.append(
+                    pltpu.make_async_copy(
+                        ks_hbm.at[pe], ks_buf.at[slot, :, sl], sems.at[slot, 2]
+                    )
+                )
+                copies.append(
+                    pltpu.make_async_copy(
+                        vs_hbm.at[pe], vs_buf.at[slot, :, sl], sems.at[slot, 3]
+                    )
+                )
+        return copies
 
-        s = jnp.where(keep, s, NEG_INF)
+    @pl.when(n_pages > 0)
+    def _run():
+        m_scr[...] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
 
-        m_prev = m_scr[...]
-        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
-        p = jnp.exp(s - m_new)
-        p = jnp.where(keep, p, 0.0)
-        corr = jnp.exp(m_prev - m_new)
-        l_scr[...] = l_scr[...] * corr + jnp.sum(p, axis=1, keepdims=True)
-        if params.kv_quant:
-            v = v_ref[0, 0].astype(jnp.float32) * vs_ref[0, 0]
-            p = p.astype(jnp.float32)
-        else:
-            v = v_ref[0, 0]
-            p = p.astype(v_ref.dtype)
-        acc_scr[...] = acc_scr[...] * corr + jax.lax.dot_general(
-            p,
-            v,
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        m_scr[...] = m_new
+        for c in dma(0, 0):
+            c.start()
 
-    @pl.when(ip == pps - 1)
-    def _epilogue():
-        m = m_scr[...]
-        l = l_scr[...]
-        empty = l <= 0.0
-        inv = jnp.where(empty, 0.0, 1.0 / jnp.where(empty, 1.0, l))
-        o_ref[0, 0, 0] = acc_scr[...] * inv
-        lse_ref[0, 0, 0] = jnp.where(
-            empty, -jnp.inf, m + jnp.log(jnp.where(empty, 1.0, l))
-        )
+        q = q_ref[0]  # (h_k, rows, d)
+        row_i = jax.lax.broadcasted_iota(jnp.int32, (rows, burst), 0)
+        col_i = jax.lax.broadcasted_iota(jnp.int32, (rows, burst), 1)
+        qpos = kv_len - sq + jnp.minimum(row_i // g, sq - 1)
+
+        def body(i, _):
+            slot = i % 2
+
+            @pl.when(i + 1 < n_bursts)
+            def _prefetch():
+                for c in dma((i + 1) % 2, i + 1):
+                    c.start()
+
+            for c in dma(slot, i):
+                c.wait()
+
+            kv_start = (lo + i * pb) * page
+            kcol = kv_start + col_i
+
+            # Quantized K/V feed the dots at their storage dtype (Mosaic
+            # lowers mixed bf16 x int8/fp8 contractions); the per-token
+            # scale is factored out of the d-axis onto the (rows, cols)
+            # score plane: (q · k_q^T)[r,c] * ks[c] == q · (k_q*ks)^T[r,c]
+            # at cols*rows scale-muls instead of cols*d dequant muls.
+            k = k_buf[slot]
+            v = v_buf[slot]
+
+            # batched over kv heads: (h_k, rows, d) x (h_k, page, d)
+            s = jax.lax.dot_general(
+                q, k, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )  # (h_k, rows, page)
+            if params.kv_quant:
+                s = s * ks_buf[slot][:, None, :]
+            s = s * params.scale
+            if params.softcap > 0.0:
+                s = jnp.tanh(s / params.softcap) * params.softcap
+
+            # columns past this split's page range (burst tail overshoot)
+            # belong to other splits and re-read clamped pages — mask them
+            keep = jnp.logical_and(kcol < kv_len, kcol < hi * page)
+            if params.causal or wr >= 0:
+                keep = jnp.logical_and(keep, kcol <= qpos + max(wr, 0))
+            if wl >= 0:
+                keep = jnp.logical_and(keep, kcol >= qpos - wl)
+            if params.has_leftpad:
+                keep = jnp.logical_and(keep, kcol >= leftpad)
+
+            if params.has_alibi:
+                slope = alibi_ref[0]  # (h_k, rows, 1)
+                kcol_eff = (
+                    jnp.where(kcol >= leftpad, kcol - leftpad, 2**30)
+                    if params.has_leftpad
+                    else kcol
+                )
+                qpos_eff = qpos - leftpad if params.has_leftpad else qpos
+                s = s - slope * jnp.abs(qpos_eff - kcol_eff).astype(jnp.float32)[None]
+
+            s = jnp.where(keep[None], s, NEG_INF)
+
+            m_prev = m_scr[...]  # (h_k, rows, 1)
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=2, keepdims=True))
+            p = jnp.exp(s - m_new)
+            p = jnp.where(keep[None], p, 0.0)
+            corr = jnp.exp(m_prev - m_new)
+            l_scr[...] = l_scr[...] * corr + jnp.sum(p, axis=2, keepdims=True)
+            if params.kv_quant:
+                # v's per-token scale rides on p (cols axis), not on v
+                p = p * vs_buf[slot][:, None, :]
+                p = p.astype(q.dtype)  # p must stay float vs int8/fp8 v
+            else:
+                p = p.astype(v.dtype)
+            acc_scr[...] = acc_scr[...] * corr + jax.lax.dot_general(
+                p, v, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            m_scr[...] = m_new
+            return 0
+
+        jax.lax.fori_loop(0, n_bursts, body, 0)
+
+    m = m_scr[...]
+    l = l_scr[...]
+    valid = n_pages > 0
+    empty = jnp.logical_or(l <= 0.0, jnp.logical_not(valid))
+    inv = jnp.where(empty, 0.0, 1.0 / jnp.where(empty, 1.0, l))
+    o_ref[0, 0] = acc_scr[...] * inv
+    lse_ref[0, 0] = jnp.where(
+        empty, -jnp.inf, m + jnp.log(jnp.where(empty, 1.0, l))
+    )[..., 0]
 
 
 def paged_attention(
     q: jax.Array,  # (b, sq, h, d) — new query tokens
-    k_pool: jax.Array,  # (kv_heads, num_pages, page_size, d)
-    v_pool: jax.Array,  # (kv_heads, num_pages, page_size, d)
+    k_pool: jax.Array,  # (num_pages, kv_heads, page_size, d)
+    v_pool: jax.Array,  # (num_pages, kv_heads, page_size, d)
     block_tables: jax.Array,  # (b, max_pages) int32
     kv_lens: jax.Array,  # (b,) int32 — total visible keys (incl. new)
     *,
@@ -203,7 +270,7 @@ def paged_attention(
     alibi_slopes: Optional[jax.Array] = None,  # (b, h) or (h,) f32
     cache_leftpad: Optional[jax.Array] = None,  # (b,) int32
     num_splits: int = 0,
-    k_scales: Optional[jax.Array] = None,  # (h_k, num_pages, page, 1) f32
+    k_scales: Optional[jax.Array] = None,  # (num_pages, h_k, page[, 1]) f32
     v_scales: Optional[jax.Array] = None,
     interpret: Optional[bool] = None,
 ) -> Tuple[jax.Array, jax.Array]:
@@ -223,7 +290,7 @@ def paged_attention(
         k_pool = k_pool.astype(jnp.float32)
         v_pool = v_pool.astype(jnp.float32)
     b, sq, h, d = q.shape
-    h_k, num_pages, page, _ = k_pool.shape
+    num_pages, h_k, page, _ = k_pool.shape
     if h % h_k:
         raise ValueError(f"q heads {h} not a multiple of kv heads {h_k}")
     g = h // h_k
@@ -244,15 +311,23 @@ def paged_attention(
         v_pool = jnp.pad(
             v_pool, ((0, 0), (0, 0), (0, page_pad - page), (0, d_pad - d))
         )
+    if kv_quant:
+        if k_scales.ndim == 4:
+            k_scales = k_scales[..., 0]
+            v_scales = v_scales[..., 0]
+        if page_pad != page:
+            k_scales = jnp.pad(k_scales, ((0, 0), (0, 0), (0, page_pad - page)))
+            v_scales = jnp.pad(v_scales, ((0, 0), (0, 0), (0, page_pad - page)))
+        k_scales = k_scales.astype(jnp.float32)
+        v_scales = v_scales.astype(jnp.float32)
 
     kv_lens = kv_lens.astype(jnp.int32)
     block_tables = block_tables.astype(jnp.int32)
 
     if num_splits <= 0:
-        # Megacore has 2 sequential-grid cores; split only if the outer grid
-        # can't fill them (the TPU analog of num_splits_heuristic,
-        # /root/reference/csrc/paged_attn.cpp:128-163).
-        num_splits = 2 if (b * h_k) < 2 and max_pages >= 2 else 1
+        # fill both Megacore cores when the batch alone cannot (the TPU
+        # analog of num_splits_heuristic, /root/reference/csrc/paged_attn.cpp:128-163)
+        num_splits = 2 if b < 2 and max_pages >= 2 else 1
     num_splits = max(1, min(num_splits, max_pages))
     pps = cdiv(max_pages, num_splits)
 
@@ -262,22 +337,26 @@ def paged_attention(
         slopes = jnp.asarray(alibi_slopes, jnp.float32)
         if slopes.ndim == 1:
             slopes = jnp.broadcast_to(slopes[None], (b, h))
-        # slope per padded q row: row r -> head ihk*g + r % g
         r = jnp.arange(rows, dtype=jnp.int32)
-        gi = jnp.minimum(r % g, g - 1)
-        alibi_rows = (
-            slopes.reshape(b, h_k, g)[:, :, gi].reshape(b, h_k, rows, 1)
-        )
+        gi = r % g
+        alibi_rows = slopes.reshape(b, h_k, g)[:, :, gi].reshape(b, h_k, rows, 1)
 
     has_leftpad = cache_leftpad is not None
-    leftpad = (
-        cache_leftpad.astype(jnp.int32) if has_leftpad else None
-    )
+    leftpad = cache_leftpad.astype(jnp.int32) if has_leftpad else None
+
+    # burst sizing: up to ~4MB of K per pipeline step. Empirically (bench
+    # scaling study) a split served by ONE burst runs at ~96% of the HBM
+    # roofline while the multi-burst loop pays a non-overlapped DMA stall
+    # per extra burst, so prefer covering the whole split in one burst.
+    page_bytes = h_k * page_pad * d_pad * k_pool.dtype.itemsize
+    pages_per_burst = max(1, min((4 << 20) // max(page_bytes, 1), pps, 32))
 
     params = PagedParams(
         seq_q=sq,
         group=g,
         rows=rows,
+        kv_heads=h_k,
+        head_dim=d_pad,
         page_size=page_pad,
         pages_per_split=pps,
         scale=scale,
@@ -287,80 +366,88 @@ def paged_attention(
         has_alibi=has_alibi,
         has_leftpad=has_leftpad,
         kv_quant=kv_quant,
+        pages_per_burst=pages_per_burst,
     )
 
-    def _page_index(ib, ihk, isplit, ip, bt_ref, lens_ref, *maybe_lp):
-        # clamp dead pages onto the last live page so Mosaic skips the DMA
-        n_live = jnp.maximum((lens_ref[ib] + page - 1) // page, 1)
-        pi = jnp.minimum(isplit * pps + ip, n_live - 1)
-        pi = jnp.minimum(pi, max_pages - 1)
-        return (ihk, bt_ref[ib, pi], 0, 0)
+    def _q_index(ib, isplit, *_):
+        return (ib, 0, 0, 0)
 
-    def _q_index(ib, ihk, isplit, ip, bt_ref, lens_ref, *maybe_lp):
-        return (ib, ihk, 0, 0)
+    def _o_index(ib, isplit, *_):
+        return (ib, isplit, 0, 0, 0)
 
-    def _o_index(ib, ihk, isplit, ip, bt_ref, lens_ref, *maybe_lp):
-        return (ib, ihk, isplit, 0, 0)
+    def _lse_index(ib, isplit, *_):
+        return (ib, isplit, 0, 0)
 
     in_specs = [
-        pl.BlockSpec((1, 1, rows, d_pad), _q_index),
-        pl.BlockSpec((1, 1, page_pad, d_pad), _page_index),
-        pl.BlockSpec((1, 1, page_pad, d_pad), _page_index),
+        pl.BlockSpec((1, h_k, rows, d_pad), _q_index),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
     ]
     inputs = [qg, k_pool, v_pool]
     if kv_quant:
-        if page_pad != page:
-            k_scales = jnp.pad(
-                k_scales, ((0, 0), (0, 0), (0, page_pad - page), (0, 0))
-            )
-            v_scales = jnp.pad(
-                v_scales, ((0, 0), (0, 0), (0, page_pad - page), (0, 0))
-            )
-        in_specs.append(pl.BlockSpec((1, 1, page_pad, 1), _page_index))
-        in_specs.append(pl.BlockSpec((1, 1, page_pad, 1), _page_index))
-        inputs.append(k_scales.astype(jnp.float32))
-        inputs.append(v_scales.astype(jnp.float32))
+        in_specs += [
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ]
+        inputs += [k_scales, v_scales]
     if has_alibi:
-        in_specs.append(pl.BlockSpec((1, 1, rows, 1), _q_index))
+        in_specs.append(pl.BlockSpec((1, h_k, rows, 1), _q_index))
         inputs.append(alibi_rows)
 
     num_scalar = 3 if has_leftpad else 2
     scalars = [block_tables, kv_lens] + ([leftpad] if has_leftpad else [])
 
+    kv_dtype = k_pool.dtype
+    burst = pages_per_burst * page_pad
+    scratch_shapes = [
+        pltpu.VMEM((2, h_k, burst, d_pad), kv_dtype),  # k slots
+        pltpu.VMEM((2, h_k, burst, d_pad), kv_dtype),  # v slots
+    ]
+    if kv_quant:
+        scratch_shapes += [
+            pltpu.VMEM((2, h_k, burst), jnp.float32),
+            pltpu.VMEM((2, h_k, burst), jnp.float32),
+        ]
+    scratch_shapes += [
+        pltpu.VMEM((h_k, rows, 1), jnp.float32),  # m
+        pltpu.VMEM((h_k, rows, 1), jnp.float32),  # l
+        pltpu.VMEM((h_k, rows, d_pad), jnp.float32),  # acc
+        pltpu.SemaphoreType.DMA((2, 4)),
+    ]
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=num_scalar,
-        grid=(b, h_k, num_splits, pps),
+        grid=(b, num_splits),
         in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((1, 1, 1, rows, d_pad), _o_index),
-            pl.BlockSpec((1, 1, 1, rows, 1), _o_index),
+            pl.BlockSpec((1, 1, h_k, rows, d_pad), _o_index),
+            pl.BlockSpec((1, 1, h_k, rows), _lse_index),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((rows, 1), jnp.float32),
-            pltpu.VMEM((rows, 1), jnp.float32),
-            pltpu.VMEM((rows, d_pad), jnp.float32),
-        ],
+        scratch_shapes=scratch_shapes,
     )
 
     o_parts, lse_parts = pl.pallas_call(
         functools.partial(_paged_kernel, params),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((b, h_k, num_splits, rows, d_pad), jnp.float32),
-            jax.ShapeDtypeStruct((b, h_k, num_splits, rows, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b, num_splits, h_k, rows, d_pad), jnp.float32),
+            jax.ShapeDtypeStruct((b, num_splits, h_k, rows), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+            dimension_semantics=("parallel", "arbitrary"),
+            # double-buffered bursts + f32 dequant temporaries exceed the
+            # default 16MB scoped-vmem budget; v5e has 128MB of VMEM
+            vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,
     )(*scalars, *inputs)
 
     if num_splits > 1:
         o, lse = combine_partials(
-            o_parts.transpose(2, 0, 1, 3, 4), lse_parts.transpose(2, 0, 1, 3, 4)[..., 0]
+            o_parts.transpose(1, 0, 2, 3, 4), lse_parts.transpose(1, 0, 2, 3)
         )
     else:
-        o, lse = o_parts[:, :, 0], lse_parts[:, :, 0, :, 0]
+        o, lse = o_parts[:, 0], lse_parts[:, 0]
 
     # undo decode swap: (b, h_k, rows, d) -> (b, sq, h, d)
     o = o[:, :, :rows_real, :d].reshape(b, h_k, sq, g, d)

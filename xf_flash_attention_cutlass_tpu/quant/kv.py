@@ -66,7 +66,7 @@ def dequantize_kv(values: jax.Array, scales: jax.Array, dtype=jnp.float32):
 
 
 def quantize_kv_pools(
-    k_pool: jax.Array,  # (h_k, num_pages, page, d) full precision
+    k_pool: jax.Array,  # (num_pages, h_k, page, d) full precision
     v_pool: jax.Array,
     quant_dtype="int8",
 ):
