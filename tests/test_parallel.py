@@ -1,0 +1,114 @@
+"""Multi-device tests on the 8-way virtual CPU mesh (SURVEY.md §4: make
+distributed logic testable without a pod): TP forward/grad equivalence vs
+the single-device model, and ring-attention context parallelism vs the
+dense kernel."""
+
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from xf_flash_attention_cutlass_tpu.models.llama import (
+    LlamaConfig,
+    forward,
+    init_params,
+    loss_fn,
+)
+from xf_flash_attention_cutlass_tpu.ops.flash_fwd import flash_fwd
+from xf_flash_attention_cutlass_tpu.parallel import (
+    make_mesh,
+    ring_attention,
+    shard_params,
+    tp_forward,
+    tp_loss_and_grad,
+)
+from xf_flash_attention_cutlass_tpu.utils.testing import max_err
+
+
+def _cpu_devices(n):
+    devs = jax.devices("cpu")
+    if len(devs) < n:
+        pytest.skip(f"need {n} cpu devices")
+    return devs[:n]
+
+
+def _tiny():
+    cfg = LlamaConfig(
+        vocab_size=64, dim=64, n_layers=2, n_heads=4, n_kv_heads=4,
+        ffn_dim=96, max_seq_len=256,
+    )
+    return cfg, init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+
+
+@pytest.mark.parametrize("dp,tp", [(1, 2), (2, 2), (1, 4), (2, 4)])
+def test_tp_forward_matches_single(dp, tp):
+    cfg, params = _tiny()
+    mesh = make_mesh(dp=dp, tp=tp, devices=_cpu_devices(dp * tp))
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (2 * dp, 17), 0, cfg.vocab_size)
+    ref = forward(params, tokens, cfg)
+    sharded = shard_params(params, mesh)
+    out = tp_forward(sharded, tokens, cfg, mesh)
+    assert max_err(out, ref) < 1e-4
+
+
+def test_tp_loss_and_grad_matches_single():
+    cfg, params = _tiny()
+    mesh = make_mesh(dp=2, tp=2, devices=_cpu_devices(4))
+    tokens = jax.random.randint(jax.random.PRNGKey(2), (4, 16), 0, cfg.vocab_size)
+    ref_loss, ref_grads = jax.value_and_grad(loss_fn)(params, tokens, cfg)
+    sharded = shard_params(params, mesh)
+    loss, grads = tp_loss_and_grad(sharded, tokens, cfg, mesh)
+    assert abs(float(loss) - float(ref_loss)) < 1e-5
+    err = jax.tree_util.tree_map(
+        lambda a, b: max_err(a, b), grads, ref_grads
+    )
+    worst = max(jax.tree_util.tree_leaves(err))
+    assert worst < 1e-4, worst
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_ring_attention_matches_dense(causal):
+    n = 4
+    devs = _cpu_devices(n)
+    mesh = make_mesh(cp=n, devices=devs)
+    b, h, s_local, d = 1, 2, 64, 64
+    s = s_local * n
+    q = jax.random.normal(jax.random.PRNGKey(1), (b, h, s, d), jnp.float32)
+    k = jax.random.normal(jax.random.PRNGKey(2), (b, h, s, d), jnp.float32)
+    v = jax.random.normal(jax.random.PRNGKey(3), (b, h, s, d), jnp.float32)
+
+    o_ref, lse_ref = flash_fwd(q, k, v, causal=causal)
+
+    ring = jax.jit(
+        jax.shard_map(
+            lambda q, k, v: ring_attention(q, k, v, "cp", causal=causal),
+            mesh=mesh,
+            in_specs=(P(None, None, "cp", None),) * 3,
+            out_specs=(P(None, None, "cp", None), P(None, None, "cp")),
+            check_vma=False,
+        )
+    )
+    o, lse = ring(q, k, v)
+    assert max_err(o, o_ref) < 1e-4
+    assert max_err(lse, lse_ref) < 1e-4
+
+
+def test_ring_attention_gqa():
+    n = 4
+    mesh = make_mesh(cp=n, devices=_cpu_devices(n))
+    b, h, h_k, s_local, d = 1, 4, 2, 32, 64
+    s = s_local * n
+    q = jax.random.normal(jax.random.PRNGKey(1), (b, h, s, d), jnp.float32)
+    k = jax.random.normal(jax.random.PRNGKey(2), (b, h_k, s, d), jnp.float32)
+    v = jax.random.normal(jax.random.PRNGKey(3), (b, h_k, s, d), jnp.float32)
+    o_ref, _ = flash_fwd(q, k, v, causal=True)
+    ring = jax.jit(
+        jax.shard_map(
+            lambda q, k, v: ring_attention(q, k, v, "cp", causal=True)[0],
+            mesh=mesh,
+            in_specs=(P(None, None, "cp", None),) * 3,
+            out_specs=P(None, None, "cp", None),
+            check_vma=False,
+        )
+    )
+    assert max_err(ring(q, k, v), o_ref) < 1e-4

@@ -1,0 +1,148 @@
+"""Serving layer tests: native C++ page allocator + continuous-batching
+engine. The engine's paged greedy decode must reproduce naive full-recompute
+greedy decoding token-for-token (the strongest end-to-end check of the
+paged cache write/read path)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from xf_flash_attention_cutlass_tpu.models.llama import (
+    LlamaConfig,
+    forward,
+    init_params,
+)
+from xf_flash_attention_cutlass_tpu.serve import DecodeEngine, EngineConfig, PagePool
+
+
+# ---- allocator ------------------------------------------------------------
+
+def test_allocator_native():
+    pool = PagePool(num_pages=16, page_size=4, max_requests=4)
+    assert pool.native, "C++ allocator failed to build"
+
+
+def test_allocator_lifecycle():
+    pool = PagePool(num_pages=8, page_size=4, max_requests=2)
+    assert pool.free_pages() == 8
+    s0 = pool.admit(100, prompt_len=6, target_len=10)  # needs 2 pages
+    assert s0 >= 0
+    assert pool.free_pages() == 6
+    assert pool.seq_len(s0) == 6
+    # extend within page 2 (6->8 fits in 2 pages)
+    assert pool.extend(s0, 2) == 8
+    assert pool.free_pages() == 6
+    # crossing into page 3
+    assert pool.extend(s0, 1) == 9
+    assert pool.free_pages() == 5
+    s1 = pool.admit(101, prompt_len=20, target_len=24)  # needs 5 pages
+    assert s1 >= 0
+    assert pool.free_pages() == 0
+    # pool exhausted
+    assert pool.extend(s1, 1) == -1
+    pool.retire(s0)
+    assert pool.free_pages() == 3
+    assert pool.extend(s1, 1) == 21
+    pool.retire(s1)
+    assert pool.free_pages() == 8
+
+
+def test_allocator_admit_limits():
+    pool = PagePool(num_pages=4, page_size=4, max_requests=1)
+    s0 = pool.admit(1, 4, 8)
+    assert s0 == 0
+    assert pool.admit(2, 4, 8) == -1  # no slot
+    pool.retire(s0)
+    assert pool.admit(3, 100, 101) == -1  # not enough pages
+    assert pool.admit(4, 16, 17) == 0  # exactly 4 pages
+
+
+def test_allocator_block_tables():
+    pool = PagePool(num_pages=10, page_size=2, max_requests=3)
+    s0 = pool.admit(7, 5, 8)  # 3 pages
+    s1 = pool.admit(8, 2, 4)  # 1 page
+    bt, sl, n = pool.build_block_tables(max_pages=5)
+    assert n == 2
+    assert sl[s0] == 5 and sl[s1] == 2
+    # pages must be unique across requests
+    used = list(bt[s0, :3]) + list(bt[s1, :1])
+    assert len(set(used)) == 4
+
+
+# ---- engine ---------------------------------------------------------------
+
+def _tiny():
+    cfg = LlamaConfig(
+        vocab_size=97, dim=64, n_layers=2, n_heads=4, n_kv_heads=2,
+        ffn_dim=128, max_seq_len=512,
+    )
+    params = init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    return cfg, params
+
+
+def _naive_greedy(params, cfg, prompt, n_new):
+    toks = list(prompt)
+    for _ in range(n_new):
+        logits = forward(params, jnp.asarray([toks], jnp.int32), cfg)
+        toks.append(int(jnp.argmax(logits[0, -1])))
+    return toks[len(prompt):]
+
+
+@pytest.mark.parametrize("page_size", [16, 32])
+def test_engine_matches_naive_greedy(page_size):
+    cfg, params = _tiny()
+    ecfg = EngineConfig(
+        max_batch=2, page_size=page_size, num_pages=32, max_seq=256
+    )
+    eng = DecodeEngine(params, cfg, ecfg, dtype=jnp.float32)
+    prompt = [3, 17, 42, 9, 55, 21, 60]
+    n_new = 6
+    eng.add_request(0, prompt, n_new)
+    out = eng.run()
+    assert list(out[0]) == _naive_greedy(params, cfg, prompt, n_new)
+
+
+def test_engine_continuous_batching():
+    cfg, params = _tiny()
+    ecfg = EngineConfig(max_batch=2, page_size=16, num_pages=64, max_seq=256)
+    eng = DecodeEngine(params, cfg, ecfg, dtype=jnp.float32)
+    prompts = {
+        0: [1, 2, 3, 4, 5],
+        1: [10, 20, 30],
+        2: [7] * 20,  # waits for a free slot (max_batch 2)
+    }
+    n_new = {0: 4, 1: 7, 2: 3}
+    for rid, p in prompts.items():
+        eng.add_request(rid, p, n_new[rid])
+    out = eng.run()
+    assert set(out) == {0, 1, 2}
+    for rid in prompts:
+        assert len(out[rid]) == n_new[rid]
+        assert out[rid] == _naive_greedy(params, cfg, prompts[rid], n_new[rid])
+
+
+def test_engine_quantized_kv_runs():
+    cfg, params = _tiny()
+    ecfg = EngineConfig(
+        max_batch=2, page_size=16, num_pages=32, max_seq=128, kv_quant="int8"
+    )
+    eng = DecodeEngine(params, cfg, ecfg, dtype=jnp.float32)
+    prompt = [5, 6, 7, 8]
+    eng.add_request(0, prompt, 4)
+    out = eng.run()
+    assert len(out[0]) == 4
+    # int8 per-token KV should track full-precision greedy on a tiny model
+    assert out[0] == _naive_greedy(params, cfg, prompt, 4)
+
+
+def test_engine_page_boundary_crossing():
+    # generation crosses several page boundaries (page_size 16, ~40 tokens)
+    cfg, params = _tiny()
+    ecfg = EngineConfig(max_batch=1, page_size=16, num_pages=16, max_seq=128)
+    eng = DecodeEngine(params, cfg, ecfg, dtype=jnp.float32)
+    prompt = [11, 22, 33]
+    n_new = 40
+    eng.add_request(0, prompt, n_new)
+    out = eng.run()
+    assert out[0] == _naive_greedy(params, cfg, prompt, n_new)

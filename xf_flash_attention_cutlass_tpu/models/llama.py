@@ -19,6 +19,7 @@ Layout notes (TPU-first):
 from __future__ import annotations
 
 import dataclasses
+import functools
 import math
 from typing import Any, Dict, Optional, Tuple
 
@@ -103,6 +104,64 @@ def init_params(key, cfg: LlamaConfig, dtype=jnp.bfloat16) -> Dict[str, Any]:
     )
 
 
+# ---- Megatron-style TP region markers (parallel/tp.py) -------------------
+# f: identity forward, psum backward — placed where a replicated activation
+# enters head/ffn-sharded compute, so upstream (norms, embeddings) receives
+# the full, replicated cotangent.
+# g: psum forward, identity backward — the sharded region's output reduce.
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def tp_region_in(x, axis_name: str):
+    return x
+
+
+def _tpi_fwd(x, axis_name):
+    return x, None
+
+
+def _tpi_bwd(axis_name, _, ct):
+    return (jax.lax.psum(ct, axis_name),)
+
+
+tp_region_in.defvjp(_tpi_fwd, _tpi_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def tp_region_out(x, axis_name: str):
+    return jax.lax.psum(x, axis_name)
+
+
+def _tpo_fwd(x, axis_name):
+    return jax.lax.psum(x, axis_name), None
+
+
+def _tpo_bwd(axis_name, _, ct):
+    return (ct,)
+
+
+tp_region_out.defvjp(_tpo_fwd, _tpo_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def scale_grad(x, s: float):
+    """Identity forward, cotangent scaled by s. Used after the vocab
+    all_gather: the loss is computed redundantly on every tp device, so the
+    gather's transpose (a psum_scatter) would overcount cotangents tp-fold."""
+    return x
+
+
+def _sg_fwd(x, s):
+    return x, None
+
+
+def _sg_bwd(s, _, ct):
+    return (ct * s,)
+
+
+scale_grad.defvjp(_sg_fwd, _sg_bwd)
+
+
 def rms_norm(x: jax.Array, w: jax.Array, eps: float) -> jax.Array:
     xf = x.astype(jnp.float32)
     var = jnp.mean(xf * xf, axis=-1, keepdims=True)
@@ -129,6 +188,8 @@ def attention_block(
     b, s, d = x.shape
     hd = cfg.head_dim
     h = rms_norm(x, layer["attn_norm"], cfg.rms_eps)
+    if axis_name is not None:
+        h = tp_region_in(h, axis_name)
     q = _proj(h, layer["wq"]).reshape(b, s, cfg.n_heads, hd)
     k = _proj(h, layer["wk"]).reshape(b, s, cfg.n_kv_heads, hd)
     v = _proj(h, layer["wv"]).reshape(b, s, cfg.n_kv_heads, hd)
@@ -148,7 +209,7 @@ def attention_block(
     o = o.swapaxes(1, 2).reshape(b, s, cfg.n_heads * hd)
     partial = _proj(o, layer["wo"])
     if axis_name is not None:
-        partial = jax.lax.psum(partial, axis_name)
+        partial = tp_region_out(partial, axis_name)
     return x + partial
 
 
@@ -159,11 +220,13 @@ def mlp_block(
     axis_name: Optional[str] = None,
 ) -> jax.Array:
     h = rms_norm(x, layer["mlp_norm"], cfg.rms_eps)
+    if axis_name is not None:
+        h = tp_region_in(h, axis_name)
     gate = _proj(h, layer["w_gate"])
     up = _proj(h, layer["w_up"])
     partial = _proj(jax.nn.silu(gate) * up, layer["w_down"])
     if axis_name is not None:
-        partial = jax.lax.psum(partial, axis_name)
+        partial = tp_region_out(partial, axis_name)
     return x + partial
 
 

@@ -28,6 +28,8 @@ from xf_flash_attention_cutlass_tpu.models.llama import (
     attention_block,
     mlp_block,
     rms_norm,
+    scale_grad,
+    tp_region_in,
     _proj,
 )
 from xf_flash_attention_cutlass_tpu.ops.rotary import rotary_frequencies
@@ -106,9 +108,11 @@ def _tp_forward_local(params, tokens, cfg: LlamaConfig, tp_size: int):
 
     x, _ = jax.lax.scan(body, x, params["layers"])
     x = rms_norm(x, params["final_norm"], cfg.rms_eps)
+    x = tp_region_in(x, TP)  # vocab-sharded head region
     logits_local = _proj(x, params["lm_head"]).astype(jnp.float32)
     # vocab-sharded head -> gather shards back to the full vocab axis
-    return jax.lax.all_gather(logits_local, TP, axis=-1, tiled=True)
+    logits = jax.lax.all_gather(logits_local, TP, axis=-1, tiled=True)
+    return scale_grad(logits, 1.0 / tp_size)
 
 
 def tp_forward(params, tokens, cfg: LlamaConfig, mesh: Mesh):
@@ -143,10 +147,14 @@ def tp_loss_and_grad(params, tokens, cfg: LlamaConfig, mesh: Mesh):
         loss, grads = jax.value_and_grad(local_loss)(params, tokens)
         loss = jax.lax.pmean(loss, DP)
         grads = jax.lax.pmean(grads, DP)
-        # grads of replicated params need a tp-mean too (each shard saw
-        # identical replicated values but different activations slices)
+        # Replicated-param grads are already full and identical across tp
+        # (tp_region_in/out in models/llama.py psum the cotangents at the
+        # sharded-region boundaries — Megatron's f/g pattern). The pmean
+        # below is numerically a no-op but REQUIRED: under check_vma=False
+        # an output is typed tp-varying unless a collective marks it
+        # invariant, and shard_map would otherwise psum it over tp on exit.
         grads = jax.tree_util.tree_map(
-            lambda g, s: jax.lax.pmean(g, TP) if all(a is None for a in s) else g,
+            lambda g, s: g if TP in tuple(s) else jax.lax.pmean(g, TP),
             grads,
             specs,
         )

@@ -1,0 +1,5 @@
+from xf_flash_attention_cutlass_tpu.serve.allocator import PagePool  # noqa: F401
+from xf_flash_attention_cutlass_tpu.serve.engine import (  # noqa: F401
+    DecodeEngine,
+    EngineConfig,
+)

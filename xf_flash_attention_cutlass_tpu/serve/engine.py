@@ -1,0 +1,336 @@
+"""Continuous-batching decode engine over the paged KV cache.
+
+The serving runtime the reference leaves to its caller (its block tables are
+test fixtures, /root/reference/test.py:1597-1621; `cache_batch_idx` slot
+reuse at export.cpp:1663-1669 is the closest it gets): request admission,
+per-step page growth and retirement run in the native C++ allocator
+(csrc/page_allocator.cpp via serve/allocator.py); prefill uses the dense
+flash kernel and scatters KV into pages; decode steps every active slot
+through the paged kernel in one batched jit call.
+
+Cache protocol: the allocator's seq_len always counts tokens whose KV is in
+the cache after the upcoming step. A decode step consumes the previously
+sampled token, appends its KV at position seq_len-1 and attends over
+seq_len keys.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from collections import deque
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from xf_flash_attention_cutlass_tpu.models.llama import (
+    LlamaConfig,
+    _proj,
+    mlp_block,
+    rms_norm,
+)
+from xf_flash_attention_cutlass_tpu.ops.flash_fwd import flash_fwd
+from xf_flash_attention_cutlass_tpu.ops.kvcache import (
+    append_kv_paged,
+    append_kv_paged_quantized,
+)
+from xf_flash_attention_cutlass_tpu.ops.paged import paged_attention
+from xf_flash_attention_cutlass_tpu.ops.rotary import apply_rotary, rotary_frequencies
+from xf_flash_attention_cutlass_tpu.serve.allocator import PagePool
+from xf_flash_attention_cutlass_tpu.utils import cdiv
+
+
+@dataclasses.dataclass(frozen=True)
+class EngineConfig:
+    max_batch: int = 8
+    page_size: int = 256
+    num_pages: int = 512
+    max_seq: int = 4096
+    kv_quant: Optional[str] = None  # None | "int8" | "fp8_e4m3"
+    eos_token: int = -1  # -1: never stop on a token
+
+    @property
+    def max_pages_per_seq(self) -> int:
+        return cdiv(self.max_seq, self.page_size)
+
+
+def _attn_qkv(layer, x, cfg: LlamaConfig, cos, sin, positions):
+    """norm -> qkv proj -> rotary; shared by prefill and decode."""
+    b, s, _ = x.shape
+    hd = cfg.head_dim
+    h = rms_norm(x, layer["attn_norm"], cfg.rms_eps)
+    q = _proj(h, layer["wq"]).reshape(b, s, cfg.n_heads, hd)
+    k = _proj(h, layer["wk"]).reshape(b, s, cfg.n_kv_heads, hd)
+    v = _proj(h, layer["wv"]).reshape(b, s, cfg.n_kv_heads, hd)
+    q = apply_rotary(q, cos, sin, positions, cfg.rotary_interleaved)
+    k = apply_rotary(k, cos, sin, positions, cfg.rotary_interleaved)
+    return q, k, v
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "quant", "interpret"))
+def decode_step(
+    params,
+    tokens,  # (b, 1) int32 — previously sampled tokens
+    pools,  # dict of (L, ...) arrays: k, v [, k_s, v_s]
+    block_tables,  # (b, max_pages) int32
+    kv_lens,  # (b,) int32 — seq length AFTER this step
+    cfg: LlamaConfig,
+    quant: Optional[str] = None,
+    interpret: Optional[bool] = None,
+):
+    """One batched decode step. Returns (next_tokens, logits, pools)."""
+    b = tokens.shape[0]
+    x = params["embed"][jnp.clip(tokens, 0, cfg.vocab_size - 1)]
+    positions = jnp.maximum(kv_lens - 1, 0)[:, None]  # (b, 1)
+    cos, sin = rotary_frequencies(cfg.head_dim, cfg.max_seq_len, cfg.rope_base)
+
+    def body(x, xs):
+        if quant:
+            layer, kp, vp, ks, vs = xs
+        else:
+            layer, kp, vp = xs
+        q, k_new, v_new = _attn_qkv(layer, x, cfg, cos, sin, positions)
+        # inactive slots (kv_len 0) must have block-table rows pointing at
+        # the trash page (engine guarantees this) so the clamped write
+        # position 0 cannot corrupt live pages
+        append_pos = jnp.maximum(kv_lens - 1, 0)
+        if quant:
+            kp, ks, vp, vs = append_kv_paged_quantized(
+                kp, ks, vp, vs, k_new, v_new, block_tables, append_pos
+            )
+            o, _ = paged_attention(
+                q, kp, vp, block_tables, kv_lens, causal=True,
+                k_scales=ks, v_scales=vs, interpret=interpret,
+            )
+        else:
+            kp, vp = append_kv_paged(
+                kp, vp, k_new, v_new, block_tables, append_pos
+            )
+            o, _ = paged_attention(
+                q, kp, vp, block_tables, kv_lens, causal=True,
+                interpret=interpret,
+            )
+        o = o.reshape(b, 1, cfg.n_heads * cfg.head_dim)
+        x = x + _proj(o, layer["wo"])
+        x = mlp_block(layer, x, cfg)
+        return x, (kp, vp, ks, vs) if quant else (kp, vp)
+
+    xs = (
+        (params["layers"], pools["k"], pools["v"], pools["k_s"], pools["v_s"])
+        if quant
+        else (params["layers"], pools["k"], pools["v"])
+    )
+    x, new_pools = jax.lax.scan(body, x, xs)
+    x = rms_norm(x, params["final_norm"], cfg.rms_eps)
+    logits = _proj(x[:, 0], params["lm_head"]).astype(jnp.float32)
+    next_tokens = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    if quant:
+        pools = dict(k=new_pools[0], v=new_pools[1], k_s=new_pools[2], v_s=new_pools[3])
+    else:
+        pools = dict(k=new_pools[0], v=new_pools[1])
+    return next_tokens, logits, pools
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "quant", "interpret")
+)
+def prefill_step(
+    params,
+    tokens,  # (1, S) int32, padded to bucket S
+    true_len,  # () int32
+    pools,
+    bt_row,  # (1, n_append_pages) int32: logical->physical incl. trash tail
+    cfg: LlamaConfig,
+    quant: Optional[str] = None,
+    interpret: Optional[bool] = None,
+):
+    """Prefill one request: dense causal attention + paged KV write.
+    Returns (first_token, logits_last, pools)."""
+    s = tokens.shape[1]
+    x = params["embed"][jnp.clip(tokens, 0, cfg.vocab_size - 1)]
+    positions = jnp.arange(s, dtype=jnp.int32)[None]
+    cos, sin = rotary_frequencies(cfg.head_dim, cfg.max_seq_len, cfg.rope_base)
+    kv_lens = true_len[None] if true_len.ndim == 0 else true_len
+    zero = jnp.zeros((1,), jnp.int32)
+
+    def body(x, xs):
+        if quant:
+            layer, kp, vp, ks, vs = xs
+        else:
+            layer, kp, vp = xs
+        q, k_new, v_new = _attn_qkv(layer, x, cfg, cos, sin, positions)
+        o, _ = flash_fwd(
+            q.swapaxes(1, 2), k_new.swapaxes(1, 2), v_new.swapaxes(1, 2),
+            causal=True, kv_lens=kv_lens, interpret=interpret,
+        )
+        o = o.swapaxes(1, 2).reshape(1, s, cfg.n_heads * cfg.head_dim)
+        if quant:
+            kp, ks, vp, vs = append_kv_paged_quantized(
+                kp, ks, vp, vs, k_new, v_new, bt_row, zero
+            )
+        else:
+            kp, vp = append_kv_paged(kp, vp, k_new, v_new, bt_row, zero)
+        x = x + _proj(o, layer["wo"])
+        x = mlp_block(layer, x, cfg)
+        return x, (kp, vp, ks, vs) if quant else (kp, vp)
+
+    xs = (
+        (params["layers"], pools["k"], pools["v"], pools["k_s"], pools["v_s"])
+        if quant
+        else (params["layers"], pools["k"], pools["v"])
+    )
+    x, new_pools = jax.lax.scan(body, x, xs)
+    x = rms_norm(x, params["final_norm"], cfg.rms_eps)
+    last = x[0, jnp.maximum(true_len - 1, 0)]
+    logits = _proj(last[None], params["lm_head"]).astype(jnp.float32)[0]
+    first_token = jnp.argmax(logits).astype(jnp.int32)
+    if quant:
+        pools = dict(k=new_pools[0], v=new_pools[1], k_s=new_pools[2], v_s=new_pools[3])
+    else:
+        pools = dict(k=new_pools[0], v=new_pools[1])
+    return first_token, logits, pools
+
+
+class DecodeEngine:
+    """Continuous batching: admit, prefill, batched decode, retire."""
+
+    def __init__(
+        self,
+        params,
+        cfg: LlamaConfig,
+        ecfg: EngineConfig,
+        dtype=jnp.bfloat16,
+        interpret: Optional[bool] = None,
+    ):
+        self.params = params
+        self.cfg = cfg
+        self.ecfg = ecfg
+        self.interpret = interpret
+        self.pool = PagePool(ecfg.num_pages, ecfg.page_size, ecfg.max_batch)
+        L = cfg.n_layers
+        # +1 physical page: the trash page absorbing padded prefill writes
+        shape = (L, ecfg.num_pages + 1, cfg.n_kv_heads, ecfg.page_size, cfg.head_dim)
+        self.trash_page = ecfg.num_pages
+        if ecfg.kv_quant:
+            vdt = jnp.int8 if ecfg.kv_quant == "int8" else jnp.float8_e4m3fn
+            self.pools = dict(
+                k=jnp.zeros(shape, vdt),
+                v=jnp.zeros(shape, vdt),
+                k_s=jnp.zeros(shape[:-1], jnp.float32),
+                v_s=jnp.zeros(shape[:-1], jnp.float32),
+            )
+        else:
+            self.pools = dict(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
+        self.queue: deque = deque()
+        self.active: Dict[int, dict] = {}  # slot -> request state
+        self.results: Dict[int, List[int]] = {}
+
+    def add_request(self, request_id: int, prompt: List[int], max_new_tokens: int):
+        self.queue.append((request_id, list(prompt), max_new_tokens))
+
+    # ---- internals -------------------------------------------------------
+    def _bucket(self, n: int) -> int:
+        b = 16
+        while b < n:
+            b *= 2
+        return min(b, self.ecfg.max_seq)
+
+    def _admit_one(self) -> bool:
+        rid, prompt, max_new = self.queue[0]
+        slot = self.pool.admit(rid, len(prompt), len(prompt) + max_new)
+        if slot < 0:
+            return False
+        self.queue.popleft()
+        bucket = self._bucket(len(prompt))
+        tokens = np.zeros((1, bucket), np.int32)
+        tokens[0, : len(prompt)] = prompt
+        n_pages = cdiv(len(prompt), self.ecfg.page_size)
+        bt, sl, _ = self.pool.build_block_tables(self.ecfg.max_pages_per_seq)
+        append_pages = cdiv(bucket, self.ecfg.page_size)
+        bt_row = np.full((1, append_pages), self.trash_page, np.int32)
+        bt_row[0, :n_pages] = bt[slot, :n_pages]
+        first, _, self.pools = prefill_step(
+            self.params,
+            jnp.asarray(tokens),
+            jnp.asarray(len(prompt), jnp.int32),
+            self.pools,
+            jnp.asarray(bt_row),
+            self.cfg,
+            self.ecfg.kv_quant,
+            self.interpret,
+        )
+        self.active[slot] = dict(
+            id=rid,
+            prompt=prompt,
+            last_token=int(first),
+            generated=[int(first)],
+            max_new=max_new,
+        )
+        return True
+
+    def step(self) -> Dict[int, List[int]]:
+        """Admit + one batched decode step. Returns tokens emitted."""
+        while self.queue and len(self.active) < self.ecfg.max_batch:
+            if not self._admit_one():
+                break
+        emitted: Dict[int, List[int]] = {}
+        # retire finished before decoding
+        for slot in list(self.active):
+            st = self.active[slot]
+            done = len(st["generated"]) >= st["max_new"] or (
+                st["generated"]
+                and st["generated"][-1] == self.ecfg.eos_token
+            )
+            if done:
+                self.results[st["id"]] = st["generated"]
+                self.pool.retire(slot)
+                del self.active[slot]
+        if not self.active:
+            return emitted
+        # grow each active sequence by one (the pending token's KV)
+        for slot in list(self.active):
+            if self.pool.extend(slot, 1) < 0:
+                # OOM: preempt — requeue with the full context so it
+                # resumes via prefill once pages free up
+                st = self.active.pop(slot)
+                self.pool.retire(slot)
+                remaining = st["max_new"] - len(st["generated"])
+                self.queue.appendleft(
+                    (st["id"], st["prompt"] + st["generated"], remaining)
+                )
+        if not self.active:
+            return emitted
+        bt, kv_lens, _ = self.pool.build_block_tables(self.ecfg.max_pages_per_seq)
+        # inactive rows -> trash page (see decode_step append note)
+        for slot in range(self.ecfg.max_batch):
+            if slot not in self.active:
+                bt[slot, :] = self.trash_page
+        tokens = np.zeros((self.ecfg.max_batch, 1), np.int32)
+        for slot, st in self.active.items():
+            tokens[slot, 0] = st["last_token"]
+        next_tokens, _, self.pools = decode_step(
+            self.params,
+            jnp.asarray(tokens),
+            self.pools,
+            jnp.asarray(bt),
+            jnp.asarray(kv_lens),
+            self.cfg,
+            self.ecfg.kv_quant,
+            self.interpret,
+        )
+        next_np = np.asarray(next_tokens)
+        for slot, st in self.active.items():
+            tok = int(next_np[slot])
+            st["last_token"] = tok
+            st["generated"].append(tok)
+            emitted.setdefault(st["id"], []).append(tok)
+        return emitted
+
+    def run(self, max_steps: int = 10_000) -> Dict[int, List[int]]:
+        steps = 0
+        while (self.queue or self.active) and steps < max_steps:
+            self.step()
+            steps += 1
+        return self.results
