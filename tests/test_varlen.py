@@ -130,3 +130,47 @@ def test_segments_from_cu_seqlens():
     cu = jnp.asarray([0, 3, 3, 7], jnp.int32)
     seg = segments_from_cu_seqlens(cu, 9)
     assert list(np.asarray(seg)) == [0, 0, 0, 2, 2, 2, 2, -1, -1]
+
+
+def test_varlen_paged_prefill():
+    """Ragged prefill against a paged cache == dense oracle on the gathered
+    cache (reference mha_varlen_fwd with block_table, export.cpp:732-741)."""
+    import numpy as np
+    from xf_flash_attention_cutlass_tpu.ops.varlen import flash_attn_varlen_paged
+
+    rng = np.random.default_rng(0)
+    b, h, h_k, d, page = 3, 4, 2, 64, 16
+    kv_lens = [37, 111, 64]
+    q_lens = [5, 20, 64]
+    max_pages = 8
+    nb = 40
+    kc = rand(jax.random.PRNGKey(1), (nb, page, h_k, d), jnp.float16)
+    vc = rand(jax.random.PRNGKey(2), (nb, page, h_k, d), jnp.float16)
+    bt = jnp.asarray(rng.permutation(nb)[: b * max_pages].reshape(b, max_pages), jnp.int32)
+    total_q = sum(q_lens)
+    q = rand(jax.random.PRNGKey(3), (total_q, h, d), jnp.float16)
+    cu_q = jnp.asarray(np.cumsum([0] + q_lens), jnp.int32)
+    seqused = jnp.asarray(kv_lens, jnp.int32)
+
+    out, lse = flash_attn_varlen_paged(
+        q, kc, vc, bt, cu_q, seqused, causal=True
+    )
+    assert out.shape == (total_q, h, d)
+
+    # oracle: per-sequence dense attention on gathered pages
+    kd = kc[np.asarray(bt).reshape(-1)].reshape(b, max_pages * page, h_k, d)
+    vd = vc[np.asarray(bt).reshape(-1)].reshape(b, max_pages * page, h_k, d)
+    off = 0
+    for i in range(b):
+        sq, sk = q_lens[i], kv_lens[i]
+        qi = q[off : off + sq][None]  # (1, sq, h, d)
+        mask = (jnp.arange(max_pages * page) < sk)[None, :]
+        ref, _ = attention_ref(
+            qi, kd[i][None], vd[i][None], key_padding_mask=mask, causal=True
+        )
+        lp, _ = attention_ref(
+            qi, kd[i][None], vd[i][None], key_padding_mask=mask, causal=True,
+            upcast=False, reorder_ops=True,
+        )
+        assert_close_2ref(out[off : off + sq][None], ref, lp, mult=2.0)
+        off += sq

@@ -70,13 +70,28 @@ def flash_attn_varlen_func(
     dropout_seed: int = 0,
 ):
     """Ragged-batch flash attention (reference: test.py:102-149)."""
-    from xf_flash_attention_cutlass_tpu.ops.varlen import flash_attn_varlen
+    from xf_flash_attention_cutlass_tpu.ops.varlen import (
+        flash_attn_varlen,
+        flash_attn_varlen_paged,
+    )
 
     del deterministic
     if block_table is not None:
-        raise NotImplementedError(
-            "block_table with varlen prefill: use flash_attn_with_kvcache"
+        # paged-KV ragged prefill (reference: export.cpp:732-741); k/v are
+        # the page pools and cu_seqlens_k gives per-sequence cache lengths
+        import jax.numpy as jnp
+
+        seqused_k = (cu_seqlens_k[1:] - cu_seqlens_k[:-1]).astype(jnp.int32)
+        if dropout_p:
+            raise NotImplementedError("dropout with paged varlen")
+        out, lse = flash_attn_varlen_paged(
+            q, k, v, block_table, cu_seqlens_q, seqused_k,
+            causal=causal, window=window_size, softcap=softcap,
+            softmax_scale=softmax_scale, alibi_slopes=alibi_slopes,
         )
+        if return_attn_probs:
+            return out, lse, None
+        return out
     out, lse = flash_attn_varlen(
         q,
         k,

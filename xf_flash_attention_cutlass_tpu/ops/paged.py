@@ -92,6 +92,7 @@ def _paged_kernel(params: PagedParams, *refs):
     l_scr = next(it)
     acc_scr = next(it)  # (h_k, rows, d) f32
     sems = next(it)  # DMA sems (2, 4)
+    slot_state = next(it)  # SMEM (1,) int32: global 2-slot parity across steps
 
     ib = pl.program_id(0)
     isplit = pl.program_id(1)
@@ -110,27 +111,41 @@ def _paged_kernel(params: PagedParams, *refs):
     if params.causal:
         wr = 0
 
-    # ---- live-page range for this split ------------------------------
-    n_live_total = pl.cdiv(kv_len, page)  # pages holding any visible key
-    lo = isplit * pps
-    if wl >= 0:
-        # sliding window: pages entirely left of the earliest visible key
-        # (for the first q row, kv_len - sq - wl) are skipped; stay
-        # burst-aligned so column indexing below remains uniform
-        first_col = jnp.maximum(kv_len - sq - wl, 0)
-        lo = jnp.maximum(lo, (first_col // (page * pb)) * pb)
-    hi = jnp.minimum((isplit + 1) * pps, n_live_total)
-    n_pages = jnp.maximum(hi - lo, 0)
+    def burst_range(ib_, isplit_):
+        """(lo, hi, n_pages) of live pages for grid step (ib_, isplit_)."""
+        kl = kv_lens_ref[ib_]
+        n_live = pl.cdiv(kl, page)
+        lo_ = isplit_ * pps
+        if wl >= 0:
+            # sliding window: pages entirely left of the earliest visible
+            # key are skipped; stay burst-aligned so column indexing below
+            # remains uniform
+            first_col = jnp.maximum(kl - sq - wl, 0)
+            lo_ = jnp.maximum(lo_, (first_col // (page * pb)) * pb)
+        hi_ = jnp.minimum((isplit_ + 1) * pps, n_live)
+        return lo_, hi_, jnp.maximum(hi_ - lo_, 0)
+
+    lo, hi, n_pages = burst_range(ib, isplit)
     n_bursts = pl.cdiv(n_pages, pb)
 
-    def dma(slot, i):
+    # the following grid step, for the cross-step DMA handoff
+    nsplits = pl.num_programs(1)
+    nb = pl.num_programs(0)
+    last_split = isplit == nsplits - 1
+    ib2 = jnp.minimum(ib + last_split.astype(jnp.int32), nb - 1)
+    isplit2 = jnp.where(last_split, 0, isplit + 1)
+    has_next = jnp.logical_or(ib + last_split.astype(jnp.int32) < nb,
+                              jnp.logical_not(last_split))
+    lo2, hi2, n_pages2 = burst_range(ib2, isplit2)
+
+    def dma(ib_, lo_, hi_, slot, i):
         """Async copies for burst i: pb logical pages -> one VMEM window."""
         copies = []
         for j in range(pb):
             # tail pages past the live range re-fetch the last live page
             # (cheap; their columns are masked out)
-            pj = jnp.minimum(lo + i * pb + j, jnp.maximum(hi - 1, 0))
-            pe = block_tables_ref[ib, pj]
+            pj = jnp.minimum(lo_ + i * pb + j, jnp.maximum(hi_ - 1, 0))
+            pe = block_tables_ref[ib_, pj]
             sl = slice(j * page, (j + 1) * page)
             copies.append(
                 pltpu.make_async_copy(
@@ -155,14 +170,37 @@ def _paged_kernel(params: PagedParams, *refs):
                 )
         return copies
 
+    is_first = jnp.logical_and(ib == 0, isplit == 0)
+
+    @pl.when(is_first)
+    def _reset_parity():
+        slot_state[0] = 0
+
+    s0 = slot_state[0]
+
+    @pl.when(jnp.logical_and(is_first, n_pages > 0))
+    def _self_issue():
+        # only the very first grid step has no predecessor to prefetch it
+        for c in dma(ib, lo, hi, 0, 0):
+            c.start()
+
+    def handoff():
+        # issue the NEXT grid step's burst 0 so it streams during the rest
+        # of this step's compute (kills the per-step pipeline bubble)
+        @pl.when(jnp.logical_and(has_next, n_pages2 > 0))
+        def _():
+            for c in dma(ib2, lo2, hi2, (s0 + n_bursts) % 2, 0):
+                c.start()
+
+    @pl.when(n_pages == 0)
+    def _empty_handoff():
+        handoff()
+
     @pl.when(n_pages > 0)
     def _run():
         m_scr[...] = jnp.full_like(m_scr, NEG_INF)
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
-
-        for c in dma(0, 0):
-            c.start()
 
         q = q_ref[0]  # (h_k, rows, d)
         row_i = jax.lax.broadcasted_iota(jnp.int32, (rows, burst), 0)
@@ -170,14 +208,18 @@ def _paged_kernel(params: PagedParams, *refs):
         qpos = kv_len - sq + jnp.minimum(row_i // g, sq - 1)
 
         def body(i, _):
-            slot = i % 2
+            slot = (s0 + i) % 2
 
             @pl.when(i + 1 < n_bursts)
             def _prefetch():
-                for c in dma((i + 1) % 2, i + 1):
+                for c in dma(ib, lo, hi, (s0 + i + 1) % 2, i + 1):
                     c.start()
 
-            for c in dma(slot, i):
+            @pl.when(i + 1 == n_bursts)
+            def _handoff():
+                handoff()
+
+            for c in dma(ib, lo, hi, slot, i):
                 c.wait()
 
             kv_start = (lo + i * pb) * page
@@ -244,6 +286,8 @@ def _paged_kernel(params: PagedParams, *refs):
             return 0
 
         jax.lax.fori_loop(0, n_bursts, body, 0)
+
+    slot_state[0] = (s0 + n_bursts) % 2
 
     m = m_scr[...]
     l = l_scr[...]
@@ -344,12 +388,12 @@ def paged_attention(
     has_leftpad = cache_leftpad is not None
     leftpad = cache_leftpad.astype(jnp.int32) if has_leftpad else None
 
-    # burst sizing: up to ~4MB of K per pipeline step. Empirically (bench
-    # scaling study) a split served by ONE burst runs at ~96% of the HBM
-    # roofline while the multi-burst loop pays a non-overlapped DMA stall
-    # per extra burst, so prefer covering the whole split in one burst.
+    # burst sizing: ~1MB of K per pipeline step — large enough to amortize
+    # DMA issue + matmul launch overhead, small enough that the 2-slot
+    # double buffer (with the cross-step handoff filling inter-step gaps)
+    # keeps the HBM pipe continuously busy
     page_bytes = h_k * page_pad * d_pad * k_pool.dtype.itemsize
-    pages_per_burst = max(1, min((4 << 20) // max(page_bytes, 1), pps, 32))
+    pages_per_burst = max(1, min((1 << 20) // max(page_bytes, 1), pps, 16))
 
     params = PagedParams(
         seq_q=sq,
@@ -413,6 +457,7 @@ def paged_attention(
         pltpu.VMEM((h_k, rows, 1), jnp.float32),  # l
         pltpu.VMEM((h_k, rows, d_pad), jnp.float32),  # acc
         pltpu.SemaphoreType.DMA((2, 4)),
+        pltpu.SMEM((1,), jnp.int32),  # cross-step slot parity
     ]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -434,7 +479,9 @@ def paged_attention(
             jax.ShapeDtypeStruct((b, num_splits, h_k, rows), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
+            # both sequential: the cross-step DMA handoff carries slot
+            # parity and in-flight copies between grid steps
+            dimension_semantics=("arbitrary", "arbitrary"),
             # double-buffered bursts + f32 dequant temporaries exceed the
             # default 16MB scoped-vmem budget; v5e has 128MB of VMEM
             vmem_limit_bytes=64 * 1024 * 1024,

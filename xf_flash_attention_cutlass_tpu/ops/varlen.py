@@ -90,6 +90,21 @@ def flash_attn_varlen(
                 "per-batch alibi slopes are not supported in packed varlen mode"
             )
 
+    return _packed_attention(
+        q, k, v, qseg, kseg, qpos, kpos,
+        causal=causal, window=window, softcap=softcap,
+        softmax_scale=softmax_scale, alibi_slopes=alibi_slopes,
+        dropout_p=dropout_p, dropout_seed=dropout_seed,
+        block_q=block_q, block_k=block_k, interpret=interpret,
+    )
+
+
+def _packed_attention(
+    q, k, v, qseg, kseg, qpos, kpos, *,
+    causal, window, softcap, softmax_scale, alibi_slopes,
+    dropout_p, dropout_seed, block_q, block_k, interpret,
+):
+
     out, lse = flash_attention(
         q.swapaxes(0, 1)[None],  # (1, h, total_q, d)
         k.swapaxes(0, 1)[None],
@@ -110,3 +125,68 @@ def flash_attn_varlen(
         interpret=interpret,
     )
     return out[0].swapaxes(0, 1), lse[0]
+
+
+def flash_attn_varlen_paged(
+    q: jax.Array,  # (total_q, h, d) packed ragged queries
+    k_cache: jax.Array,  # (num_blocks, page, h_k, d) — reference layout
+    v_cache: jax.Array,
+    block_table: jax.Array,  # (b, max_pages) int32
+    cu_seqlens_q: jax.Array,  # (b+1,) int32
+    seqused_k: jax.Array,  # (b,) int32 — live keys per sequence
+    *,
+    causal: bool = False,
+    window: Tuple[int, int] = (-1, -1),
+    softcap: float = 0.0,
+    softmax_scale: Optional[float] = None,
+    alibi_slopes: Optional[jax.Array] = None,
+    interpret: Optional[bool] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Ragged-batch prefill against a paged KV cache — the reference's
+    `mha_varlen_fwd` with `block_table` (/root/reference/export.cpp:732-741).
+
+    Prefill is compute-bound, so the paged KV is gathered into a packed
+    rectangular layout (one XLA gather) and the packed dense kernel runs
+    with segment/position masking; the bandwidth-optimal scalar-prefetch
+    path (ops/paged.py) stays reserved for decode. Returns (out, lse) in
+    the varlen layouts ((total_q, h, d), (h, total_q))."""
+    total_q, h, d = q.shape
+    num_blocks, page, h_k, _ = k_cache.shape
+    b, max_pages = block_table.shape
+    sk = max_pages * page  # rectangular per-sequence key stride
+
+    flat = block_table.astype(jnp.int32).reshape(-1)
+    kd = k_cache[flat].reshape(b, sk, h_k, d).reshape(b * sk, h_k, d)
+    vd = v_cache[flat].reshape(b, sk, h_k, d).reshape(b * sk, h_k, d)
+
+    cu_q = cu_seqlens_q.astype(jnp.int32)
+    seqused_k = seqused_k.astype(jnp.int32)
+    qseg = segments_from_cu_seqlens(cu_q, total_q)
+    kidx = jnp.arange(b * sk, dtype=jnp.int32)
+    kbatch = kidx // sk
+    kwithin = kidx % sk
+    kseg = jnp.where(kwithin < seqused_k[kbatch], kbatch, -2)
+    kpos = jnp.where(kseg >= 0, kwithin, 2**30)
+
+    # bottom-right causal alignment: q token t of sequence i sits at key
+    # position seqused_k[i] - len_q[i] + t
+    qidx = jnp.arange(total_q, dtype=jnp.int32)
+    len_q = cu_q[1:] - cu_q[:-1]
+    segc = jnp.clip(qseg, 0, None)
+    qpos = qidx - cu_q[segc] + seqused_k[segc] - len_q[segc]
+    qpos = jnp.where(qseg >= 0, qpos, -(2**30)).astype(jnp.int32)
+
+    if alibi_slopes is not None:
+        alibi_slopes = jnp.asarray(alibi_slopes, jnp.float32)
+        if alibi_slopes.ndim != 1:
+            raise NotImplementedError(
+                "per-batch alibi slopes are not supported in packed varlen mode"
+            )
+
+    return _packed_attention(
+        q, kd, vd, qseg, kseg, qpos, kpos,
+        causal=causal, window=window, softcap=softcap,
+        softmax_scale=softmax_scale, alibi_slopes=alibi_slopes,
+        dropout_p=0.0, dropout_seed=0, block_q=None, block_k=None,
+        interpret=interpret,
+    )

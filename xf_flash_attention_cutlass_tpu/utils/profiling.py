@@ -1,0 +1,140 @@
+"""Profiling + roofline accounting.
+
+The reference has no tracing/profiling at all (SURVEY.md §5 — its debugging
+story is commented-out printf calls). Here: jax.profiler wrappers plus
+analytic roofline counters for every hot op, so benchmarks report achieved
+fraction of speed-of-light rather than bare wall-clock.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import dataclasses
+import time
+from typing import Callable, Iterable, Optional
+
+import jax
+
+
+@dataclasses.dataclass(frozen=True)
+class ChipSpec:
+    name: str
+    hbm_gbps: float  # HBM bandwidth, GB/s
+    bf16_tflops: float  # dense MXU bf16
+    int8_tops: float
+
+    @property
+    def hbm_bytes_per_s(self) -> float:
+        return self.hbm_gbps * 1e9
+
+
+V5E = ChipSpec(name="v5e", hbm_gbps=819.0, bf16_tflops=197.0, int8_tops=394.0)
+V5P = ChipSpec(name="v5p", hbm_gbps=2765.0, bf16_tflops=459.0, int8_tops=918.0)
+
+
+def detect_chip() -> ChipSpec:
+    try:
+        kind = jax.devices()[0].device_kind.lower()
+    except Exception:
+        return V5E
+    if "v5p" in kind or "v5 pod" in kind:
+        return V5P
+    return V5E
+
+
+def attention_flops(b, sq, sk, h, d, causal=False) -> float:
+    """QK^T + PV matmul FLOPs (2 GEMMs, 2*m*n*k each)."""
+    f = 4.0 * b * h * sq * sk * d
+    return f / 2 if causal and sq == sk else f
+
+
+def attention_kv_bytes(b, sk, h_k, d, bytes_per_elem=2, scale_bytes=0) -> float:
+    """K+V bytes a decode step must stream from HBM."""
+    return b * sk * h_k * (2 * d * bytes_per_elem + 2 * scale_bytes)
+
+
+@dataclasses.dataclass
+class RooflineReport:
+    seconds: float
+    flops: float = 0.0
+    bytes: float = 0.0
+    chip: ChipSpec = V5E
+
+    @property
+    def tflops(self) -> float:
+        return self.flops / self.seconds / 1e12
+
+    @property
+    def gbps(self) -> float:
+        return self.bytes / self.seconds / 1e9
+
+    @property
+    def compute_fraction(self) -> float:
+        return self.tflops / self.chip.bf16_tflops
+
+    @property
+    def bandwidth_fraction(self) -> float:
+        return self.gbps / self.chip.hbm_gbps
+
+    @property
+    def roofline_fraction(self) -> float:
+        """Fraction of the binding resource's speed-of-light."""
+        t_ideal = max(
+            self.flops / (self.chip.bf16_tflops * 1e12),
+            self.bytes / self.chip.hbm_bytes_per_s,
+        )
+        return t_ideal / self.seconds
+
+    def line(self, label: str) -> str:
+        return (
+            f"{label}: {self.seconds*1e6:.0f}us  {self.tflops:.1f} TF/s  "
+            f"{self.gbps:.0f} GB/s  roofline {self.roofline_fraction:.2f}"
+        )
+
+
+@contextlib.contextmanager
+def trace(logdir: str):
+    """jax.profiler trace context (view in TensorBoard / xprof)."""
+    jax.profiler.start_trace(logdir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+def timed_chain(
+    step: Callable,
+    x0,
+    *args,
+    spans=(10, 210),
+    repeats: int = 3,
+    fetch: Optional[Callable] = None,
+):
+    """Slope-timed per-step seconds for a chainable step function.
+
+    `step(x, *args) -> x_next` is iterated with a data dependency; the
+    per-step time is the slope between two chain lengths, which cancels the
+    host<->device round-trip latency (the axon transport only synchronizes
+    on host fetches — block_until_ready is NOT a device sync there).
+    """
+    import numpy as np
+
+    if fetch is None:
+        fetch = lambda x: float(jax.tree_util.tree_leaves(x)[0].reshape(-1)[0])
+
+    def chain(k):
+        x = x0
+        t0 = time.perf_counter()
+        for _ in range(k):
+            x = step(x, *args)
+        fetch(x)
+        return time.perf_counter() - t0
+
+    chain(3)  # warmup
+    k1, k2 = spans
+    trials = []
+    for _ in range(repeats):
+        t1 = min(chain(k1) for _ in range(2))
+        t2 = min(chain(k2) for _ in range(2))
+        trials.append((t2 - t1) / (k2 - k1))
+    return float(np.median(trials))
