@@ -262,8 +262,10 @@ def flash_bwd(
     scale = softmax_scale if softmax_scale is not None else 1.0 / math.sqrt(d)
 
     d_pad = max(next_multiple(d, 128), 128)
-    bq = block_q or min(256, next_multiple(sq, 128))
-    bk = block_k or min(256, next_multiple(sk, 128))
+    # 512^2 tiles: bwd keeps ~6 live (bq,bk)-sized f32 tensors per step, so
+    # the overhead-amortization sweet spot sits below the fwd kernel's 1024^2
+    bq = block_q or min(512, next_multiple(sq, 128))
+    bk = block_k or min(512, next_multiple(sk, 128))
     bq = min(bq, next_multiple(sq, 128))
     bk = min(bk, next_multiple(sk, 128))
     sq_pad = next_multiple(sq, bq)
@@ -376,6 +378,7 @@ def flash_bwd(
         out_shape=jax.ShapeDtypeStruct((b, h, sq_pad, d_pad), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )(*base_inputs, *extra)
@@ -406,6 +409,7 @@ def flash_bwd(
             dimension_semantics=(
                 "parallel", "parallel", "parallel", "arbitrary", "arbitrary",
             ),
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )(*base_inputs, *extra)
