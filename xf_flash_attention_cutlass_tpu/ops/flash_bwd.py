@@ -121,11 +121,12 @@ def _recompute_p_ds(params, seq_k_padded, q, k, v, do, lse_row, delta_row,
         do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
     if params.dropout_p > 0.0:
+        from xf_flash_attention_cutlass_tpu.ops.flash_fwd import dropout_keep_mask
+
         blk_idx = ((ib * h_all + ih) * nq + iq) * nk + ik
-        pltpu.prng_seed(seed_ref[0, 0], blk_idx)
-        bits = pltpu.prng_random_bits((params.block_q, params.block_k))
-        thresh = jnp.uint32(min(int(params.dropout_p * float(2**32)), 2**32 - 1))
-        keep_drop = pltpu.bitcast(bits, jnp.uint32) >= thresh
+        keep_drop = dropout_keep_mask(
+            params, seed_ref[0, 0], blk_idx, (params.block_q, params.block_k)
+        )
         z = jnp.where(keep_drop, 1.0 / (1.0 - params.dropout_p), 0.0)
         p_dv = p * z
         dp = dp * z
@@ -263,9 +264,14 @@ def flash_bwd(
 
     d_pad = max(next_multiple(d, 128), 128)
     # 512^2 tiles: bwd keeps ~6 live (bq,bk)-sized f32 tensors per step, so
-    # the overhead-amortization sweet spot sits below the fwd kernel's 1024^2
+    # the overhead-amortization sweet spot sits below the fwd kernel's 1024^2.
+    # NB with dropout these MUST equal the fwd blocks (mask replay): the fwd
+    # pins itself to the same canonical 512 when dropout_p > 0.
     bq = block_q or min(512, next_multiple(sq, 128))
     bk = block_k or min(512, next_multiple(sk, 128))
+    if dropout_p > 0.0:
+        bq = min(512, next_multiple(sq, 128))
+        bk = min(512, next_multiple(sk, 128))
     bq = min(bq, next_multiple(sq, 128))
     bk = min(bk, next_multiple(sk, 128))
     sq_pad = next_multiple(sq, bq)
@@ -317,6 +323,7 @@ def flash_bwd(
         has_alibi=has_alibi, has_segments=has_segments,
         has_positions=has_positions, has_kv_lens=has_kv_lens,
         dropout_p=dropout_p, block_q=bq, block_k=bk,
+        interp_prng=bool(interpret),
     )
 
     def common_specs(hmap, qblk, kblk):

@@ -38,6 +38,20 @@ from xf_flash_attention_cutlass_tpu.utils import cdiv, default_interpret, next_m
 NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)  # finite mask value
 
 
+def dropout_keep_mask(params, seed, blk_idx, shape):
+    """Counter-based keep mask for one (bq, bk) block — order-independent
+    across the grid so fwd and bwd regenerate identical masks (the TPU
+    analog of the Philox offset scheme, dropout.h:26-105 / philox.cuh)."""
+    thresh = jnp.uint32(min(int(params.dropout_p * float(2**32)), 2**32 - 1))
+    if params.interp_prng:
+        key = jax.random.fold_in(jax.random.PRNGKey(seed), blk_idx)
+        bits = jax.random.bits(key, shape, jnp.uint32)
+    else:
+        pltpu.prng_seed(seed, blk_idx)
+        bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    return bits >= thresh
+
+
 @dataclasses.dataclass(frozen=True)
 class FlashParams:
     """Static kernel configuration (the TPU analog of Flash_fwd_params,
@@ -58,6 +72,9 @@ class FlashParams:
     dropout_p: float = 0.0
     block_q: int = 256
     block_k: int = 256
+    # interpret mode has no TPU PRNG lowering; use threefry there. fwd and
+    # bwd must agree on this flag for the dropout mask replay to match.
+    interp_prng: bool = False
 
     @property
     def window_resolved(self) -> Tuple[int, int]:
@@ -213,18 +230,12 @@ def _flash_fwd_kernel(params: FlashParams, seq_k_padded: int, *refs):
         )
 
         if params.dropout_p > 0.0:
-            # Counter-based per-block reseed — order-independent across the
-            # grid so fwd and bwd regenerate identical masks (the TPU analog
-            # of the Philox offset scheme in dropout.h:26-105).
             nq = pl.num_programs(2)
             h_all = pl.num_programs(1)
             blk_idx = ((ib * h_all + ih) * nq + iq) * nk + ik
-            pltpu.prng_seed(seed_ref[0, 0], blk_idx)
-            bits = pltpu.prng_random_bits((bq, bk))
-            thresh = jnp.uint32(
-                min(int(params.dropout_p * float(2**32)), 2**32 - 1)
+            keep_drop = dropout_keep_mask(
+                params, seed_ref[0, 0], blk_idx, (bq, bk)
             )
-            keep_drop = pltpu.bitcast(bits, jnp.uint32) >= thresh
             p_acc = jnp.where(keep_drop, p, jnp.zeros((), p.dtype))
         else:
             p_acc = p
@@ -343,6 +354,12 @@ def flash_fwd(
     d_pad = max(next_multiple(d, 128), 128)
     bq = block_q or min(1024, next_multiple(sq, 128))
     bk = block_k or min(1024, next_multiple(sk, 128))
+    if dropout_p > 0.0:
+        # the backward replays the dropout mask from the same per-block
+        # counter seeds, which requires identical block partitioning in fwd
+        # and bwd — pin both to the canonical 512 tiles (flash_bwd.py)
+        bq = min(512, next_multiple(sq, 128))
+        bk = min(512, next_multiple(sk, 128))
     bq = min(bq, next_multiple(sq, 128))
     bk = min(bk, next_multiple(sk, 128))
     sq_pad = next_multiple(sq, bq)
@@ -395,6 +412,7 @@ def flash_fwd(
         dropout_p=dropout_p,
         block_q=bq,
         block_k=bk,
+        interp_prng=bool(interpret),
     )
 
     grid = (b, h, sq_pad // bq, sk_pad // bk)
