@@ -112,3 +112,55 @@ def test_ring_attention_gqa():
         )
     )
     assert max_err(ring(q, k, v), o_ref) < 1e-4
+
+
+@pytest.mark.parametrize("quant", [None, "int8"])
+def test_tp_paged_decode_matches_single(quant):
+    """TP-sharded decode step == single-device decode step (config 5)."""
+    from xf_flash_attention_cutlass_tpu.parallel.tp_serve import (
+        shard_pools,
+        tp_decode_step,
+    )
+    from xf_flash_attention_cutlass_tpu.quant import quantize_kv
+    from xf_flash_attention_cutlass_tpu.serve.engine import decode_step
+
+    cfg = LlamaConfig(
+        vocab_size=64, dim=64, n_layers=2, n_heads=4, n_kv_heads=2,
+        ffn_dim=96, max_seq_len=256,
+    )
+    params = init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    L, num_pages, page = cfg.n_layers, 8, 16
+    b, mp = 2, 4
+    key = jax.random.PRNGKey(1)
+    kpool = jax.random.normal(
+        key, (L, num_pages, cfg.n_kv_heads, page, cfg.head_dim), jnp.float32
+    )
+    vpool = jax.random.normal(
+        jax.random.PRNGKey(2), kpool.shape, jnp.float32
+    )
+    if quant:
+        kq, ks = quantize_kv(kpool, quant)
+        vq, vs = quantize_kv(vpool, quant)
+        pools = dict(k=kq, v=vq, k_s=ks[..., 0], v_s=vs[..., 0])
+    else:
+        pools = dict(k=kpool, v=vpool)
+    bt = jnp.asarray([[0, 1, 2, 3], [4, 5, 6, 7]], jnp.int32)
+    kv_lens = jnp.asarray([17, 40], jnp.int32)
+    tokens = jnp.asarray([[5], [9]], jnp.int32)
+
+    ref_tok, ref_logits, ref_pools = decode_step(
+        params, tokens, pools, bt, kv_lens, cfg, quant
+    )
+
+    mesh = make_mesh(tp=2, devices=_cpu_devices(2))
+    from xf_flash_attention_cutlass_tpu.parallel import shard_params
+
+    sp = shard_params(params, mesh)
+    spools = shard_pools(pools, mesh)
+    tok, logits, out_pools = tp_decode_step(
+        sp, tokens, spools, bt, kv_lens, cfg, mesh, quant
+    )
+    assert max_err(logits, ref_logits) < 1e-4
+    assert jnp.array_equal(tok, ref_tok)
+    for name in pools:
+        assert max_err(out_pools[name], ref_pools[name]) < 1e-5, name

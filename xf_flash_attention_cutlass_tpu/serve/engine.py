@@ -69,8 +69,7 @@ def _attn_qkv(layer, x, cfg: LlamaConfig, cos, sin, positions):
     return q, k, v
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "quant", "interpret"))
-def decode_step(
+def decode_core(
     params,
     tokens,  # (b, 1) int32 — previously sampled tokens
     pools,  # dict of (L, ...) arrays: k, v [, k_s, v_s]
@@ -79,8 +78,11 @@ def decode_step(
     cfg: LlamaConfig,
     quant: Optional[str] = None,
     interpret: Optional[bool] = None,
+    axis_name: Optional[str] = None,  # TP axis inside shard_map
 ):
-    """One batched decode step. Returns (next_tokens, logits, pools)."""
+    """One batched decode step. Returns (next_tokens, logits, pools).
+    Under shard_map, cfg must be the LOCAL config (parallel/tp.py) and the
+    pools this device's kv-head shard; logits come back vocab-gathered."""
     b = tokens.shape[0]
     x = params["embed"][jnp.clip(tokens, 0, cfg.vocab_size - 1)]
     positions = jnp.maximum(kv_lens - 1, 0)[:, None]  # (b, 1)
@@ -113,8 +115,11 @@ def decode_step(
                 interpret=interpret,
             )
         o = o.reshape(b, 1, cfg.n_heads * cfg.head_dim)
-        x = x + _proj(o, layer["wo"])
-        x = mlp_block(layer, x, cfg)
+        partial = _proj(o, layer["wo"])
+        if axis_name is not None:
+            partial = jax.lax.psum(partial, axis_name)
+        x = x + partial
+        x = mlp_block(layer, x, cfg, axis_name=axis_name)
         return x, (kp, vp, ks, vs) if quant else (kp, vp)
 
     xs = (
@@ -125,12 +130,26 @@ def decode_step(
     x, new_pools = jax.lax.scan(body, x, xs)
     x = rms_norm(x, params["final_norm"], cfg.rms_eps)
     logits = _proj(x[:, 0], params["lm_head"]).astype(jnp.float32)
+    if axis_name is not None:
+        # vocab-sharded head -> full logits on every device
+        logits = jax.lax.all_gather(logits, axis_name, axis=-1, tiled=True)
     next_tokens = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     if quant:
         pools = dict(k=new_pools[0], v=new_pools[1], k_s=new_pools[2], v_s=new_pools[3])
     else:
         pools = dict(k=new_pools[0], v=new_pools[1])
     return next_tokens, logits, pools
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "quant", "interpret"))
+def decode_step(
+    params, tokens, pools, block_tables, kv_lens,
+    cfg: LlamaConfig, quant: Optional[str] = None,
+    interpret: Optional[bool] = None,
+):
+    return decode_core(
+        params, tokens, pools, block_tables, kv_lens, cfg, quant, interpret
+    )
 
 
 @functools.partial(
