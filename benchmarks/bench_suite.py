@@ -114,6 +114,59 @@ def bench_qmm(m=512, k=4096, n=4096):
     print(rep.line(f"int8_qmm {m}x{k}x{n}"))
 
 
+def bench_engine_decode(quant=None, n_layers=2):
+    """Full decode step (projections + paged attention) on an 8B-class
+    layer geometry, n_layers deep; per-layer time extrapolates the stack."""
+    import time
+
+    from xf_flash_attention_cutlass_tpu.models.llama import LlamaConfig, init_params
+    from xf_flash_attention_cutlass_tpu.serve.engine import decode_step
+
+    cfg = LlamaConfig(
+        vocab_size=8192, dim=4096, n_layers=n_layers, n_heads=32,
+        n_kv_heads=8, ffn_dim=14336, max_seq_len=4096,
+    )
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    B, page, mp = 64, 256, 8
+    num_pages = B * mp + 1
+    shape = (n_layers, num_pages, cfg.n_kv_heads, page, cfg.head_dim)
+    if quant:
+        vdt = jnp.int8 if quant == "int8" else jnp.float8_e4m3fn
+        pools = dict(
+            k=jnp.zeros(shape, vdt), v=jnp.zeros(shape, vdt),
+            k_s=jnp.ones(shape[:-1], jnp.float32),
+            v_s=jnp.ones(shape[:-1], jnp.float32),
+        )
+    else:
+        pools = dict(k=jnp.zeros(shape, jnp.bfloat16), v=jnp.zeros(shape, jnp.bfloat16))
+    bt = jnp.arange(B * mp, dtype=jnp.int32).reshape(B, mp)
+    kv_lens = jnp.full((B,), 1500, jnp.int32)
+    tokens = jnp.zeros((B, 1), jnp.int32)
+
+    state = {"p": pools}  # pools are DONATED per step: thread them through
+
+    def chain(k_steps):
+        t = tokens
+        t0 = time.perf_counter()
+        for _ in range(k_steps):
+            t, _, state["p"] = decode_step(
+                params, t, state["p"], bt, kv_lens, cfg, quant
+            )
+            t = t[:, None]
+        _ = int(t[0, 0])
+        return time.perf_counter() - t0
+
+    chain(2)
+    t1 = min(chain(5) for _ in range(2))
+    t2 = min(chain(45) for _ in range(2))
+    t = (t2 - t1) / 40
+    toks = B / (t / n_layers * 32)  # extrapolated to 32 layers
+    print(
+        f"engine_decode kv={quant or 'bf16'}: {t*1e6:.0f}us/{n_layers}-layer step"
+        f" -> {toks:.0f} tok/s extrapolated 8B (64 reqs @1.5k ctx)"
+    )
+
+
 if __name__ == "__main__":
     print(f"chip: {CHIP.name} ({jax.devices()[0].device_kind})")
     for seq in (2048, 4096, 8192):
@@ -123,3 +176,5 @@ if __name__ == "__main__":
     for kv in ("bf16", "int8", "fp8_e4m3"):
         bench_paged(kv)
     bench_qmm()
+    for kv in (None, "fp8_e4m3"):
+        bench_engine_decode(kv)

@@ -291,3 +291,73 @@ def test_scalar_cache_seqlens():
         q, kc, vc, key_padding_mask=mask, causal=True, upcast=False, reorder_ops=True
     )
     assert_close_2ref(out, out_ref, out_lp, mult=3.0)
+
+
+def test_paged_append_kernel_matches_scatter():
+    """In-place Pallas append == the jnp scatter reference, for both the
+    decode (per-token RMW) and prefill (window write) paths, incl. the
+    layer axis and in-kernel quantization."""
+    from xf_flash_attention_cutlass_tpu.ops.kvcache import (
+        append_kv_paged,
+        append_kv_paged_quantized,
+    )
+    from xf_flash_attention_cutlass_tpu.ops.paged_append import paged_append
+    from xf_flash_attention_cutlass_tpu.quant import quantize_kv
+
+    L, nb, hk, page, d = 2, 12, 2, 16, 128
+    b = 3
+    kp = rand(jax.random.PRNGKey(0), (L, nb, hk, page, d), jnp.float32)
+    vp = rand(jax.random.PRNGKey(1), (L, nb, hk, page, d), jnp.float32)
+    bt = jnp.asarray(
+        np.random.default_rng(0).permutation(nb)[: b * 4].reshape(b, 4), jnp.int32
+    )
+    lidx = jnp.asarray(1, jnp.int32)
+
+    # ---- decode path: sq=1, arbitrary positions (window RMW) ----
+    kn = rand(jax.random.PRNGKey(2), (b, 1, hk, d), jnp.float32)
+    vn = rand(jax.random.PRNGKey(3), (b, 1, hk, d), jnp.float32)
+    pos = jnp.asarray([3, 17, 40], jnp.int32)
+    ref_k, ref_v = append_kv_paged(kp, vp, kn, vn, bt, pos, layer_idx=lidx)
+    out_k, out_v = paged_append(kp.copy(), vp.copy(), kn, vn, bt, pos, layer_idx=lidx)
+    assert max_err(out_k, ref_k) == 0.0
+    assert max_err(out_v, ref_v) == 0.0
+
+    # quantized decode: in-kernel quantization == host quantize + scatter
+    kq, ks = quantize_kv(kp, "int8")
+    vq, vs = quantize_kv(vp, "int8")
+    ks, vs = ks[..., 0], vs[..., 0]
+    rk, rks, rv, rvs = append_kv_paged_quantized(
+        kq, ks, vq, vs, kn, vn, bt, pos, layer_idx=lidx
+    )
+    ok, ov, oks, ovs = paged_append(
+        kq.copy(), vq.copy(), kn, vn, bt, pos,
+        k_scales=ks.copy(), v_scales=vs.copy(), layer_idx=lidx,
+    )
+    assert max_err(ok.astype(jnp.int32), rk.astype(jnp.int32)) == 0
+    assert max_err(oks, rks) < 1e-6
+    assert max_err(ovs, rvs) < 1e-6
+
+    # ---- prefill path: b=1, page-aligned position, windowed writes ----
+    s_new = 32
+    kn1 = rand(jax.random.PRNGKey(4), (1, s_new, hk, d), jnp.float32)
+    vn1 = rand(jax.random.PRNGKey(5), (1, s_new, hk, d), jnp.float32)
+    pos0 = jnp.asarray([16], jnp.int32)  # page-aligned (page=16)
+    bt1 = bt[:1]
+    ref_k, ref_v = append_kv_paged(kp, vp, kn1, vn1, bt1, pos0, layer_idx=lidx)
+    out_k, out_v = paged_append(
+        kp.copy(), vp.copy(), kn1, vn1, bt1, pos0, layer_idx=lidx
+    )
+    assert max_err(out_k, ref_k) == 0.0
+    assert max_err(out_v, ref_v) == 0.0
+
+    # quantized prefill
+    rk, rks, rv, rvs = append_kv_paged_quantized(
+        kq, ks, vq, vs, kn1, vn1, bt1, pos0, layer_idx=lidx
+    )
+    ok, ov, oks, ovs = paged_append(
+        kq.copy(), vq.copy(), kn1, vn1, bt1, pos0,
+        k_scales=ks.copy(), v_scales=vs.copy(), layer_idx=lidx,
+    )
+    assert max_err(ok.astype(jnp.int32), rk.astype(jnp.int32)) == 0
+    assert max_err(oks, rks) < 1e-6
+    assert max_err(ovs, rvs) < 1e-6

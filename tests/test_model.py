@@ -74,3 +74,51 @@ def test_quantized_params_close():
         jnp.mean((jnp.argmax(logits, -1) == jnp.argmax(qlogits, -1)).astype(jnp.float32))
     )
     assert agree > 0.8
+
+
+def test_quantized_stack_perplexity():
+    """BASELINE config 4/5 accuracy: int8 weight-only + int8 KV decode must
+    match full-precision next-token NLL within a few percent."""
+    from xf_flash_attention_cutlass_tpu.models.llama import loss_fn
+
+    cfg, params = _tiny()
+    tokens = jax.random.randint(jax.random.PRNGKey(9), (2, 48), 0, cfg.vocab_size)
+    nll_full = float(loss_fn(params, tokens, cfg))
+    qparams = quantize_params(params)
+    nll_q = float(loss_fn(qparams, tokens, cfg))
+    assert abs(nll_q - nll_full) / nll_full < 0.03, (nll_full, nll_q)
+
+
+def test_quantized_kv_decode_logits_close():
+    """Paged int8-KV decode logits vs full-precision decode logits."""
+    import numpy as np
+    from xf_flash_attention_cutlass_tpu.quant import quantize_kv
+    from xf_flash_attention_cutlass_tpu.serve.engine import decode_step
+    from xf_flash_attention_cutlass_tpu.ops.kvcache import append_kv_paged
+
+    cfg, params = _tiny()
+    L, num_pages, page, b, mp = cfg.n_layers, 10, 16, 2, 4
+    # seed pools with KV from a pretend prefill (random but consistent)
+    kpool = jax.random.normal(
+        jax.random.PRNGKey(1),
+        (L, num_pages, cfg.n_kv_heads, page, cfg.head_dim), jnp.float32,
+    ) * 0.5
+    vpool = jax.random.normal(jax.random.PRNGKey(2), kpool.shape, jnp.float32) * 0.5
+    bt = jnp.asarray([[0, 1, 2, 3], [4, 5, 6, 7]], jnp.int32)
+    kv_lens = jnp.asarray([30, 55], jnp.int32)
+    tokens = jnp.asarray([[3], [7]], jnp.int32)
+
+    # decode_step donates pools; hand it copies
+    _, logits_full, _ = decode_step(
+        params, tokens, dict(k=kpool.copy(), v=vpool.copy()), bt, kv_lens,
+        cfg, None,
+    )
+    kq, ks = quantize_kv(kpool, "int8")
+    vq, vs = quantize_kv(vpool, "int8")
+    _, logits_q, _ = decode_step(
+        params, tokens,
+        dict(k=kq, v=vq, k_s=ks[..., 0], v_s=vs[..., 0]),
+        bt, kv_lens, cfg, "int8",
+    )
+    rel = max_err(logits_q, logits_full) / float(jnp.max(jnp.abs(logits_full)))
+    assert rel < 0.02, rel

@@ -148,8 +148,10 @@ def test_tp_paged_decode_matches_single(quant):
     kv_lens = jnp.asarray([17, 40], jnp.int32)
     tokens = jnp.asarray([[5], [9]], jnp.int32)
 
+    # decode_step donates pools; keep the originals for the tp run
     ref_tok, ref_logits, ref_pools = decode_step(
-        params, tokens, pools, bt, kv_lens, cfg, quant
+        params, tokens, {k: v.copy() for k, v in pools.items()}, bt, kv_lens,
+        cfg, quant,
     )
 
     mesh = make_mesh(tp=2, devices=_cpu_devices(2))

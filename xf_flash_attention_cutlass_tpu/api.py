@@ -12,8 +12,33 @@ from __future__ import annotations
 from typing import Optional, Tuple
 
 import jax
+import jax.numpy as jnp
 
 from xf_flash_attention_cutlass_tpu.ops.flash import flash_attention
+
+MAX_HEADDIM = 256  # matches the reference dispatch ladder (flash_fwd_launch_template.h)
+
+
+def _check(cond: bool, msg: str):
+    """Host-side input validation — the analog of the reference's
+    TORCH_CHECK layer (export.cpp:488-568)."""
+    if not cond:
+        raise ValueError(msg)
+
+
+def _check_qkv(q, k, v, q_rank: int):
+    _check(q.ndim == q_rank, f"q must be rank {q_rank}, got shape {q.shape}")
+    _check(k.ndim == q_rank and v.ndim == q_rank,
+           f"k/v must be rank {q_rank}, got {k.shape} / {v.shape}")
+    _check(q.dtype == k.dtype == v.dtype,
+           f"q/k/v dtypes must match, got {q.dtype}/{k.dtype}/{v.dtype}")
+    _check(q.dtype in (jnp.float16, jnp.bfloat16, jnp.float32),
+           f"unsupported dtype {q.dtype}; use fp16/bf16/fp32")
+    _check(k.shape == v.shape, f"k and v shapes must match: {k.shape} vs {v.shape}")
+    h, hk, d = q.shape[-2], k.shape[-2], q.shape[-1]
+    _check(k.shape[-1] == d, f"head dims differ: q {d} vs k {k.shape[-1]}")
+    _check(h % hk == 0, f"q heads ({h}) must be a multiple of kv heads ({hk})")
+    _check(0 < d <= MAX_HEADDIM, f"head_dim must be in (0, {MAX_HEADDIM}], got {d}")
 
 
 def flash_attn_func(
@@ -32,6 +57,9 @@ def flash_attn_func(
 ):
     """Dense flash attention (reference: test.py:41-72). Differentiable."""
     del deterministic  # TPU kernels are deterministic by construction
+    _check_qkv(q, k, v, 4)
+    _check(q.shape[0] == k.shape[0], f"batch mismatch: {q.shape[0]} vs {k.shape[0]}")
+    _check(0.0 <= dropout_p < 1.0, f"dropout_p must be in [0, 1), got {dropout_p}")
     out, lse = flash_attention(
         q.swapaxes(1, 2),
         k.swapaxes(1, 2),
@@ -76,11 +104,13 @@ def flash_attn_varlen_func(
     )
 
     del deterministic
+    _check(q.ndim == 3, f"varlen q must be (total_q, h, d), got {q.shape}")
+    _check(0.0 <= dropout_p < 1.0, f"dropout_p must be in [0, 1), got {dropout_p}")
     if block_table is not None:
         # paged-KV ragged prefill (reference: export.cpp:732-741); k/v are
         # the page pools and cu_seqlens_k gives per-sequence cache lengths
-        import jax.numpy as jnp
-
+        _check(k.ndim == 4, f"paged k must be (num_blocks, page, h_k, d), got {k.shape}")
+        _check(block_table.ndim == 2, f"block_table must be (b, max_pages), got {block_table.shape}")
         seqused_k = (cu_seqlens_k[1:] - cu_seqlens_k[:-1]).astype(jnp.int32)
         if dropout_p:
             raise NotImplementedError("dropout with paged varlen")
@@ -136,11 +166,35 @@ def flash_attn_with_kvcache(
 ):
     """Paged/dense KV-cache decode+append (reference: test.py:189-245).
 
+    Validation mirrors mha_fwd_kvcache's checks (export.cpp:1449-1540).
+
     Unlike the torch reference, JAX arrays are immutable: the (possibly
     updated) caches are RETURNED — (out, k_cache, v_cache) or
     (out, lse, k_cache, v_cache) with return_softmax_lse.
     """
     from xf_flash_attention_cutlass_tpu.ops.kvcache import attention_with_kvcache
+
+    _check(q.ndim == 4, f"q must be (b, sq, h, d), got {q.shape}")
+    _check(k_cache.ndim == 4, f"k_cache must be rank 4, got {k_cache.shape}")
+    _check(k_cache.shape == v_cache.shape,
+           f"k_cache/v_cache shapes differ: {k_cache.shape} vs {v_cache.shape}")
+    _check(q.shape[-1] == k_cache.shape[-1],
+           f"head dims differ: q {q.shape[-1]} vs cache {k_cache.shape[-1]}")
+    _check(q.shape[2] % k_cache.shape[2] == 0,
+           f"q heads ({q.shape[2]}) must be a multiple of cache kv heads "
+           f"({k_cache.shape[2]})")
+    if block_table is not None:
+        _check(block_table.ndim == 2 and block_table.shape[0] == q.shape[0],
+               f"block_table must be (b, max_pages) with b={q.shape[0]}, "
+               f"got {block_table.shape}")
+        _check(cache_batch_idx is None,
+               "cache_batch_idx is incompatible with a paged cache "
+               "(reference skips this combination too, test.py:1377)")
+    if (k is None) != (v is None):
+        raise ValueError("k and v must be given together")
+    if k is not None:
+        _check(cache_seqlens is not None,
+               "cache_seqlens is required when appending new KV")
 
     return attention_with_kvcache(
         q,

@@ -25,7 +25,6 @@ philox.cuh) — this requires identical block shapes in fwd and bwd.
 
 from __future__ import annotations
 
-import dataclasses
 import functools
 import math
 from typing import Optional, Tuple
@@ -35,7 +34,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from xf_flash_attention_cutlass_tpu.ops.flash_fwd import NEG_INF, FlashParams
+from xf_flash_attention_cutlass_tpu.ops.flash_fwd import FlashParams
 from xf_flash_attention_cutlass_tpu.utils import default_interpret, next_multiple
 
 

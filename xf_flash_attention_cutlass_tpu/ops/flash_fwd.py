@@ -33,7 +33,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from xf_flash_attention_cutlass_tpu.utils import cdiv, default_interpret, next_multiple
+from xf_flash_attention_cutlass_tpu.utils import default_interpret, next_multiple
 
 NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)  # finite mask value
 

@@ -24,7 +24,6 @@ Key structural departures from the reference (deliberate, TPU-first):
 
 from __future__ import annotations
 
-import math
 from typing import Optional, Tuple
 
 import jax
@@ -32,21 +31,29 @@ import jax.numpy as jnp
 
 from xf_flash_attention_cutlass_tpu.ops.paged import paged_attention
 from xf_flash_attention_cutlass_tpu.ops.rotary import apply_rotary
-from xf_flash_attention_cutlass_tpu.utils import cdiv, next_multiple
+from xf_flash_attention_cutlass_tpu.utils import next_multiple
 
 DEFAULT_PAGE = 256  # page rows used when viewing a dense cache as paged
 
 
+def _scatter_rows(pool, pe, row, values, layer_idx=None):
+    """pool[(l,) pe_i, :, row_i] = values_i — the page-table row scatter."""
+    if layer_idx is None:
+        return pool.at[pe, :, row].set(values.astype(pool.dtype))
+    return pool.at[layer_idx, pe, :, row].set(values.astype(pool.dtype))
+
+
 def append_kv_paged(
-    k_pool: jax.Array,  # (num_pages, h_k, page, d)
+    k_pool: jax.Array,  # (num_pages, h_k, page, d), or (L, ...) with layer_idx
     v_pool: jax.Array,
     k_new: jax.Array,  # (b, s_new, h_k, d)
     v_new: jax.Array,
     block_tables: jax.Array,  # (b, max_pages) int32
     cache_seqlens: jax.Array,  # (b,) int32 — insert position per batch
+    layer_idx: Optional[jax.Array] = None,  # scalar: pools carry a layer axis
 ) -> Tuple[jax.Array, jax.Array]:
     """Scatter new tokens into the paged pool (internal layout)."""
-    num_pages, h_k, page, d = k_pool.shape
+    num_pages, h_k, page, d = k_pool.shape[-4:]
     b, s_new, _, _ = k_new.shape
     t = jnp.arange(s_new, dtype=jnp.int32)[None, :]  # (1, s_new)
     pos = cache_seqlens.astype(jnp.int32)[:, None] + t  # (b, s_new)
@@ -57,8 +64,8 @@ def append_kv_paged(
     ).reshape(-1)
     kv = k_new.reshape(b * s_new, h_k, d)
     vv = v_new.reshape(b * s_new, h_k, d)
-    k_pool = k_pool.at[pe, :, row].set(kv.astype(k_pool.dtype))
-    v_pool = v_pool.at[pe, :, row].set(vv.astype(v_pool.dtype))
+    k_pool = _scatter_rows(k_pool, pe, row, kv, layer_idx)
+    v_pool = _scatter_rows(v_pool, pe, row, vv, layer_idx)
     return k_pool, v_pool
 
 
@@ -71,15 +78,16 @@ def append_kv_paged_quantized(
     v_new: jax.Array,
     block_tables: jax.Array,
     cache_seqlens: jax.Array,
+    layer_idx: Optional[jax.Array] = None,
 ):
     """Quantize new tokens per-token and scatter values + scales."""
     from xf_flash_attention_cutlass_tpu.quant.kv import quantize_kv
 
-    squeeze = k_scales.ndim == 4  # accept (..., 1) from quantize_kv
+    squeeze = k_scales.ndim == k_pool.ndim  # accept (..., 1) from quantize_kv
     if squeeze:
         k_scales = k_scales[..., 0]
         v_scales = v_scales[..., 0]
-    num_pages, h_k, page, d = k_pool.shape
+    num_pages, h_k, page, d = k_pool.shape[-4:]
     b, s_new, _, _ = k_new.shape
     t = jnp.arange(s_new, dtype=jnp.int32)[None, :]
     pos = cache_seqlens.astype(jnp.int32)[:, None] + t
@@ -90,10 +98,14 @@ def append_kv_paged_quantized(
     ).reshape(-1)
     kq, ks = quantize_kv(k_new.reshape(b * s_new, h_k, d), k_pool.dtype)
     vq, vs = quantize_kv(v_new.reshape(b * s_new, h_k, d), v_pool.dtype)
-    k_pool = k_pool.at[pe, :, row].set(kq)
-    v_pool = v_pool.at[pe, :, row].set(vq)
-    k_scales = k_scales.at[pe, :, row].set(ks[..., 0])
-    v_scales = v_scales.at[pe, :, row].set(vs[..., 0])
+    k_pool = _scatter_rows(k_pool, pe, row, kq, layer_idx)
+    v_pool = _scatter_rows(v_pool, pe, row, vq, layer_idx)
+    if layer_idx is None:
+        k_scales = k_scales.at[pe, :, row].set(ks[..., 0])
+        v_scales = v_scales.at[pe, :, row].set(vs[..., 0])
+    else:
+        k_scales = k_scales.at[layer_idx, pe, :, row].set(ks[..., 0])
+        v_scales = v_scales.at[layer_idx, pe, :, row].set(vs[..., 0])
     if squeeze:
         k_scales = k_scales[..., None]
         v_scales = v_scales[..., None]

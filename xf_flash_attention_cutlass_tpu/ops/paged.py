@@ -65,6 +65,10 @@ class PagedParams:
     has_alibi: bool
     has_leftpad: bool
     kv_quant: bool
+    # pools carry a leading layer axis and a scalar layer index selects the
+    # slice inside the kernel (serving: whole-stack pools stay one buffer,
+    # no per-layer slice copies)
+    has_layer: bool = False
     # logical pages fetched + computed per pipeline step: amortizes DMA
     # issue, semaphore and matmul-launch overhead over ~1MB bursts
     pages_per_burst: int = 1
@@ -76,6 +80,7 @@ def _paged_kernel(params: PagedParams, *refs):
     block_tables_ref = next(it)  # scalar prefetch (b, max_pages)
     kv_lens_ref = next(it)  # scalar prefetch (b,)
     leftpad_ref = next(it) if params.has_leftpad else None  # scalar (b,)
+    lidx_ref = next(it) if params.has_layer else None  # scalar (1,)
     q_ref = next(it)  # (1, h_k, rows, d) VMEM
     k_hbm = next(it)  # (num_pages, h_k, page, d) ANY/HBM
     v_hbm = next(it)
@@ -146,26 +151,34 @@ def _paged_kernel(params: PagedParams, *refs):
             # (cheap; their columns are masked out)
             pj = jnp.minimum(lo_ + i * pb + j, jnp.maximum(hi_ - 1, 0))
             pe = block_tables_ref[ib_, pj]
+            if params.has_layer:
+                ksrc = k_hbm.at[lidx_ref[0], pe]
+                vsrc = v_hbm.at[lidx_ref[0], pe]
+            else:
+                ksrc = k_hbm.at[pe]
+                vsrc = v_hbm.at[pe]
             sl = slice(j * page, (j + 1) * page)
             copies.append(
-                pltpu.make_async_copy(
-                    k_hbm.at[pe], k_buf.at[slot, :, sl], sems.at[slot, 0]
-                )
+                pltpu.make_async_copy(ksrc, k_buf.at[slot, :, sl], sems.at[slot, 0])
             )
             copies.append(
-                pltpu.make_async_copy(
-                    v_hbm.at[pe], v_buf.at[slot, :, sl], sems.at[slot, 1]
-                )
+                pltpu.make_async_copy(vsrc, v_buf.at[slot, :, sl], sems.at[slot, 1])
             )
             if params.kv_quant:
+                if params.has_layer:
+                    kssrc = ks_hbm.at[lidx_ref[0], pe]
+                    vssrc = vs_hbm.at[lidx_ref[0], pe]
+                else:
+                    kssrc = ks_hbm.at[pe]
+                    vssrc = vs_hbm.at[pe]
                 copies.append(
                     pltpu.make_async_copy(
-                        ks_hbm.at[pe], ks_buf.at[slot, :, sl], sems.at[slot, 2]
+                        kssrc, ks_buf.at[slot, :, sl], sems.at[slot, 2]
                     )
                 )
                 copies.append(
                     pltpu.make_async_copy(
-                        vs_hbm.at[pe], vs_buf.at[slot, :, sl], sems.at[slot, 3]
+                        vssrc, vs_buf.at[slot, :, sl], sems.at[slot, 3]
                     )
                 )
         return copies
@@ -316,6 +329,7 @@ def paged_attention(
     num_splits: int = 0,
     k_scales: Optional[jax.Array] = None,  # (num_pages, h_k, page[, 1]) f32
     v_scales: Optional[jax.Array] = None,
+    layer_idx: Optional[jax.Array] = None,  # scalar int32: pools are (L, ...)
     interpret: Optional[bool] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Paged-KV attention over new query tokens. Returns (O, LSE).
@@ -323,10 +337,14 @@ def paged_attention(
     O: (b, sq, h, d) in q.dtype; LSE: (b, h, sq) fp32 natural log.
     When k_scales/v_scales are given, k_pool/v_pool hold int8 or fp8-e4m3
     values and dequant is fused into the attention tiles (quant/kv.py).
+    With layer_idx, pools carry a leading layer axis (L, num_pages, ...) and
+    the kernel reads layer layer_idx without slicing the buffer — the
+    whole-stack pools stay one array through a lax.scan over layers.
     """
     if interpret is None:
         interpret = default_interpret()
     kv_quant = k_scales is not None
+    has_layer = layer_idx is not None
     out_dtype = q.dtype
     if not interpret and q.dtype == jnp.float16:
         q = q.astype(jnp.float32)
@@ -334,7 +352,12 @@ def paged_attention(
         k_pool = k_pool.astype(jnp.float32)
         v_pool = v_pool.astype(jnp.float32)
     b, sq, h, d = q.shape
-    num_pages, h_k, page, _ = k_pool.shape
+    num_pages, h_k, page, _ = k_pool.shape[-4:]
+    if has_layer and k_pool.ndim != 5:
+        raise ValueError(
+            f"layer_idx given but k_pool is not (L, pages, h_k, page, d): "
+            f"{k_pool.shape}"
+        )
     if h % h_k:
         raise ValueError(f"q heads {h} not a multiple of kv heads {h_k}")
     g = h // h_k
@@ -349,19 +372,19 @@ def paged_attention(
     page_pad = max(next_multiple(page, 8), 8)
     qg = jnp.pad(qg, ((0, 0), (0, 0), (0, rows - rows_real), (0, d_pad - d)))
     if d_pad != d or page_pad != page:
-        k_pool = jnp.pad(
-            k_pool, ((0, 0), (0, 0), (0, page_pad - page), (0, d_pad - d))
+        pad = ((0, 0),) * (k_pool.ndim - 2) + (
+            (0, page_pad - page), (0, d_pad - d),
         )
-        v_pool = jnp.pad(
-            v_pool, ((0, 0), (0, 0), (0, page_pad - page), (0, d_pad - d))
-        )
+        k_pool = jnp.pad(k_pool, pad)
+        v_pool = jnp.pad(v_pool, pad)
     if kv_quant:
-        if k_scales.ndim == 4:
+        if k_scales.ndim == k_pool.ndim:  # trailing (..., 1) from quantize_kv
             k_scales = k_scales[..., 0]
             v_scales = v_scales[..., 0]
         if page_pad != page:
-            k_scales = jnp.pad(k_scales, ((0, 0), (0, 0), (0, page_pad - page)))
-            v_scales = jnp.pad(v_scales, ((0, 0), (0, 0), (0, page_pad - page)))
+            spad = ((0, 0),) * (k_scales.ndim - 1) + ((0, page_pad - page),)
+            k_scales = jnp.pad(k_scales, spad)
+            v_scales = jnp.pad(v_scales, spad)
         k_scales = k_scales.astype(jnp.float32)
         v_scales = v_scales.astype(jnp.float32)
 
@@ -410,6 +433,7 @@ def paged_attention(
         has_alibi=has_alibi,
         has_leftpad=has_leftpad,
         kv_quant=kv_quant,
+        has_layer=has_layer,
         pages_per_burst=pages_per_burst,
     )
 
@@ -438,8 +462,12 @@ def paged_attention(
         in_specs.append(pl.BlockSpec((1, h_k, rows, 1), _q_index))
         inputs.append(alibi_rows)
 
-    num_scalar = 3 if has_leftpad else 2
-    scalars = [block_tables, kv_lens] + ([leftpad] if has_leftpad else [])
+    scalars = [block_tables, kv_lens]
+    if has_leftpad:
+        scalars.append(leftpad)
+    if has_layer:
+        scalars.append(jnp.asarray(layer_idx, jnp.int32).reshape(1))
+    num_scalar = len(scalars)
 
     kv_dtype = k_pool.dtype
     burst = pages_per_burst * page_pad

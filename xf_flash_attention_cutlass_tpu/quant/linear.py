@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from xf_flash_attention_cutlass_tpu.utils import cdiv, default_interpret, next_multiple
+from xf_flash_attention_cutlass_tpu.utils import default_interpret, next_multiple
 
 
 def quantize_weight(

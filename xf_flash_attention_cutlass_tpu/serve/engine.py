@@ -32,10 +32,7 @@ from xf_flash_attention_cutlass_tpu.models.llama import (
     rms_norm,
 )
 from xf_flash_attention_cutlass_tpu.ops.flash_fwd import flash_fwd
-from xf_flash_attention_cutlass_tpu.ops.kvcache import (
-    append_kv_paged,
-    append_kv_paged_quantized,
-)
+from xf_flash_attention_cutlass_tpu.ops.paged_append import paged_append
 from xf_flash_attention_cutlass_tpu.ops.paged import paged_attention
 from xf_flash_attention_cutlass_tpu.ops.rotary import apply_rotary, rotary_frequencies
 from xf_flash_attention_cutlass_tpu.serve.allocator import PagePool
@@ -84,35 +81,42 @@ def decode_core(
     Under shard_map, cfg must be the LOCAL config (parallel/tp.py) and the
     pools this device's kv-head shard; logits come back vocab-gathered."""
     b = tokens.shape[0]
+    L = pools["k"].shape[0]
     x = params["embed"][jnp.clip(tokens, 0, cfg.vocab_size - 1)]
     positions = jnp.maximum(kv_lens - 1, 0)[:, None]  # (b, 1)
     cos, sin = rotary_frequencies(cfg.head_dim, cfg.max_seq_len, cfg.rope_base)
 
-    def body(x, xs):
+    # Pools ride the scan CARRY, updated by layer-indexed scatters, and the
+    # paged kernel selects the layer via layer_idx — as scan xs/ys the
+    # whole-stack pools would be copied every step (measured 15x slowdown).
+    def body(carry, xs):
+        layer, l = xs
         if quant:
-            layer, kp, vp, ks, vs = xs
+            x, kp, vp, ks, vs = carry
         else:
-            layer, kp, vp = xs
+            x, kp, vp = carry
         q, k_new, v_new = _attn_qkv(layer, x, cfg, cos, sin, positions)
         # inactive slots (kv_len 0) must have block-table rows pointing at
         # the trash page (engine guarantees this) so the clamped write
         # position 0 cannot corrupt live pages
         append_pos = jnp.maximum(kv_lens - 1, 0)
         if quant:
-            kp, ks, vp, vs = append_kv_paged_quantized(
-                kp, ks, vp, vs, k_new, v_new, block_tables, append_pos
+            kp, vp, ks, vs = paged_append(
+                kp, vp, k_new, v_new, block_tables, append_pos,
+                k_scales=ks, v_scales=vs, layer_idx=l, interpret=interpret,
             )
             o, _ = paged_attention(
                 q, kp, vp, block_tables, kv_lens, causal=True,
-                k_scales=ks, v_scales=vs, interpret=interpret,
+                k_scales=ks, v_scales=vs, layer_idx=l, interpret=interpret,
             )
         else:
-            kp, vp = append_kv_paged(
-                kp, vp, k_new, v_new, block_tables, append_pos
+            kp, vp = paged_append(
+                kp, vp, k_new, v_new, block_tables, append_pos,
+                layer_idx=l, interpret=interpret,
             )
             o, _ = paged_attention(
                 q, kp, vp, block_tables, kv_lens, causal=True,
-                interpret=interpret,
+                layer_idx=l, interpret=interpret,
             )
         o = o.reshape(b, 1, cfg.n_heads * cfg.head_dim)
         partial = _proj(o, layer["wo"])
@@ -120,14 +124,18 @@ def decode_core(
             partial = jax.lax.psum(partial, axis_name)
         x = x + partial
         x = mlp_block(layer, x, cfg, axis_name=axis_name)
-        return x, (kp, vp, ks, vs) if quant else (kp, vp)
+        carry = (x, kp, vp, ks, vs) if quant else (x, kp, vp)
+        return carry, None
 
-    xs = (
-        (params["layers"], pools["k"], pools["v"], pools["k_s"], pools["v_s"])
+    carry0 = (
+        (x, pools["k"], pools["v"], pools["k_s"], pools["v_s"])
         if quant
-        else (params["layers"], pools["k"], pools["v"])
+        else (x, pools["k"], pools["v"])
     )
-    x, new_pools = jax.lax.scan(body, x, xs)
+    carry, _ = jax.lax.scan(
+        body, carry0, (params["layers"], jnp.arange(L, dtype=jnp.int32))
+    )
+    x = carry[0]
     x = rms_norm(x, params["final_norm"], cfg.rms_eps)
     logits = _proj(x[:, 0], params["lm_head"]).astype(jnp.float32)
     if axis_name is not None:
@@ -135,13 +143,18 @@ def decode_core(
         logits = jax.lax.all_gather(logits, axis_name, axis=-1, tiled=True)
     next_tokens = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     if quant:
-        pools = dict(k=new_pools[0], v=new_pools[1], k_s=new_pools[2], v_s=new_pools[3])
+        pools = dict(k=carry[1], v=carry[2], k_s=carry[3], v_s=carry[4])
     else:
-        pools = dict(k=new_pools[0], v=new_pools[1])
+        pools = dict(k=carry[1], v=carry[2])
     return next_tokens, logits, pools
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "quant", "interpret"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "quant", "interpret"),
+    donate_argnames=("pools",),  # in-place KV scatter: without donation the
+    # whole pool is copied every step (measured 15x decode slowdown)
+)
 def decode_step(
     params, tokens, pools, block_tables, kv_lens,
     cfg: LlamaConfig, quant: Optional[str] = None,
@@ -153,7 +166,9 @@ def decode_step(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "quant", "interpret")
+    jax.jit,
+    static_argnames=("cfg", "quant", "interpret"),
+    donate_argnames=("pools",),
 )
 def prefill_step(
     params,
@@ -168,17 +183,19 @@ def prefill_step(
     """Prefill one request: dense causal attention + paged KV write.
     Returns (first_token, logits_last, pools)."""
     s = tokens.shape[1]
+    L = pools["k"].shape[0]
     x = params["embed"][jnp.clip(tokens, 0, cfg.vocab_size - 1)]
     positions = jnp.arange(s, dtype=jnp.int32)[None]
     cos, sin = rotary_frequencies(cfg.head_dim, cfg.max_seq_len, cfg.rope_base)
     kv_lens = true_len[None] if true_len.ndim == 0 else true_len
     zero = jnp.zeros((1,), jnp.int32)
 
-    def body(x, xs):
+    def body(carry, xs):
+        layer, l = xs
         if quant:
-            layer, kp, vp, ks, vs = xs
+            x, kp, vp, ks, vs = carry
         else:
-            layer, kp, vp = xs
+            x, kp, vp = carry
         q, k_new, v_new = _attn_qkv(layer, x, cfg, cos, sin, positions)
         o, _ = flash_fwd(
             q.swapaxes(1, 2), k_new.swapaxes(1, 2), v_new.swapaxes(1, 2),
@@ -186,29 +203,37 @@ def prefill_step(
         )
         o = o.swapaxes(1, 2).reshape(1, s, cfg.n_heads * cfg.head_dim)
         if quant:
-            kp, ks, vp, vs = append_kv_paged_quantized(
-                kp, ks, vp, vs, k_new, v_new, bt_row, zero
+            kp, vp, ks, vs = paged_append(
+                kp, vp, k_new, v_new, bt_row, zero,
+                k_scales=ks, v_scales=vs, layer_idx=l, interpret=interpret,
             )
         else:
-            kp, vp = append_kv_paged(kp, vp, k_new, v_new, bt_row, zero)
+            kp, vp = paged_append(
+                kp, vp, k_new, v_new, bt_row, zero,
+                layer_idx=l, interpret=interpret,
+            )
         x = x + _proj(o, layer["wo"])
         x = mlp_block(layer, x, cfg)
-        return x, (kp, vp, ks, vs) if quant else (kp, vp)
+        carry = (x, kp, vp, ks, vs) if quant else (x, kp, vp)
+        return carry, None
 
-    xs = (
-        (params["layers"], pools["k"], pools["v"], pools["k_s"], pools["v_s"])
+    carry0 = (
+        (x, pools["k"], pools["v"], pools["k_s"], pools["v_s"])
         if quant
-        else (params["layers"], pools["k"], pools["v"])
+        else (x, pools["k"], pools["v"])
     )
-    x, new_pools = jax.lax.scan(body, x, xs)
+    carry, _ = jax.lax.scan(
+        body, carry0, (params["layers"], jnp.arange(L, dtype=jnp.int32))
+    )
+    x = carry[0]
     x = rms_norm(x, params["final_norm"], cfg.rms_eps)
     last = x[0, jnp.maximum(true_len - 1, 0)]
     logits = _proj(last[None], params["lm_head"]).astype(jnp.float32)[0]
     first_token = jnp.argmax(logits).astype(jnp.int32)
     if quant:
-        pools = dict(k=new_pools[0], v=new_pools[1], k_s=new_pools[2], v_s=new_pools[3])
+        pools = dict(k=carry[1], v=carry[2], k_s=carry[3], v_s=carry[4])
     else:
-        pools = dict(k=new_pools[0], v=new_pools[1])
+        pools = dict(k=carry[1], v=carry[2])
     return first_token, logits, pools
 
 
@@ -251,7 +276,9 @@ class DecodeEngine:
 
     # ---- internals -------------------------------------------------------
     def _bucket(self, n: int) -> int:
-        b = 16
+        # min 32: the prefill append writes value windows of up to 32 rows
+        # (int8/fp8 sublane tile), so the padded length must divide evenly
+        b = 32
         while b < n:
             b *= 2
         return min(b, self.ecfg.max_seq)
