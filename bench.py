@@ -102,7 +102,8 @@ def main():
             {
                 "metric": "8B_paged_decode_fp8kv_tokens_per_s_per_chip",
                 "value": round(tokens_per_s, 1),
-                "unit": "tok/s (attention stack, 64 reqs @ ~1.5k ctx)",
+                "unit": "tok/s attention-kernel bound, 64 reqs @ ~1.5k ctx"
+                " (full-stack engine: see benchmarks/bench_suite.py)",
                 "vs_baseline": round(vs_baseline, 4),
             }
         )
