@@ -146,3 +146,24 @@ def test_engine_page_boundary_crossing():
     eng.add_request(0, prompt, n_new)
     out = eng.run()
     assert out[0] == _naive_greedy(params, cfg, prompt, n_new)
+
+
+def test_engine_many_mixed_requests():
+    """Continuous churn: more requests than slots, mixed lengths, page
+    reuse across generations (BASELINE config 3 at test scale)."""
+    cfg, params = _tiny()
+    ecfg = EngineConfig(max_batch=4, page_size=16, num_pages=24, max_seq=128)
+    eng = DecodeEngine(params, cfg, ecfg, dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    prompts = {}
+    for rid in range(12):
+        n = int(rng.integers(2, 30))
+        prompts[rid] = [int(t) for t in rng.integers(0, cfg.vocab_size, n)]
+        eng.add_request(rid, prompts[rid], 3)
+    out = eng.run()
+    assert set(out) == set(prompts)
+    # spot-check a few against naive greedy
+    for rid in (0, 5, 11):
+        assert out[rid] == _naive_greedy(params, cfg, prompts[rid], 3), rid
+    # all pages returned after the run
+    assert eng.pool.free_pages() == ecfg.num_pages

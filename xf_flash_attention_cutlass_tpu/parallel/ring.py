@@ -46,18 +46,35 @@ def ring_attention(
     def step(t, carry):
         o, lse, kc, vc = carry
         src = (idx - t) % n  # origin device of the current kv chunk
-        kpos = (src * s_k + jnp.arange(s_k, dtype=jnp.int32))[None].repeat(b, 0)
-        o_t, lse_t = flash_fwd(
-            q,
-            kc,
-            vc,
-            causal=causal,
-            softmax_scale=softmax_scale,
-            q_positions=qpos,
-            kv_positions=kpos,
-            interpret=interpret,
-        )
-        o, lse = merge_two(o, lse, o_t.astype(jnp.float32), lse_t)
+
+        def attend(_):
+            kpos = (src * s_k + jnp.arange(s_k, dtype=jnp.int32))[None].repeat(b, 0)
+            o_t, lse_t = flash_fwd(
+                q,
+                kc,
+                vc,
+                causal=causal,
+                softmax_scale=softmax_scale,
+                q_positions=qpos,
+                kv_positions=kpos,
+                interpret=interpret,
+            )
+            return o_t.astype(jnp.float32), lse_t
+
+        def skip(_):
+            return (
+                jnp.zeros((b, h, s_q, d), jnp.float32),
+                jnp.full((b, h, s_q), -jnp.inf, jnp.float32),
+            )
+
+        if causal:
+            # chunks entirely in this device's future are fully masked:
+            # skip the kernel, merge the identity partial (the intra-chip
+            # analog: n_block_max trimming, flash_fwd_kernel.h:81-88)
+            o_t, lse_t = jax.lax.cond(src > idx, skip, attend, None)
+        else:
+            o_t, lse_t = attend(None)
+        o, lse = merge_two(o, lse, o_t, lse_t)
         # rotate kv to the next device (skip the final dead rotation)
         kc, vc = jax.lax.cond(
             t < n - 1,
