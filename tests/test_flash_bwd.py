@@ -14,6 +14,7 @@ from xf_flash_attention_cutlass_tpu.ops.reference import (
 from xf_flash_attention_cutlass_tpu.utils.testing import (
     alibi_slopes_ref,
     assert_close_2ref,
+    max_err,
     rand,
 )
 
@@ -100,3 +101,39 @@ def test_grad_alibi():
 def test_grad_fp32_tight():
     # fp32 end-to-end should be near machine precision vs the oracle
     run_grad_case(1, 2, 2, 256, 256, 64, jnp.float32, causal=True, mult=3.0)
+
+
+def test_grad_alibi():
+    """ALiBi bias gradients vs the jnp oracle's autodiff (the reference
+    ships alibi in its bwd kernel but never tests it — bwd is compiled out)."""
+    from xf_flash_attention_cutlass_tpu.ops.flash import flash_attention
+    from xf_flash_attention_cutlass_tpu.ops.reference import (
+        attention_ref,
+        attn_bias_from_alibi_slopes,
+    )
+    from xf_flash_attention_cutlass_tpu.utils.testing import alibi_slopes_ref
+
+    b, h, s, d = 1, 4, 192, 64
+    q = rand(jax.random.PRNGKey(0), (b, h, s, d), jnp.float32, 0.5)
+    k = rand(jax.random.PRNGKey(1), (b, h, s, d), jnp.float32, 0.5)
+    v = rand(jax.random.PRNGKey(2), (b, h, s, d), jnp.float32, 0.5)
+    slopes = jnp.asarray(alibi_slopes_ref(h))
+    w = rand(jax.random.PRNGKey(3), (b, h, s, d), jnp.float32)
+
+    def loss_impl(q, k, v):
+        o, _ = flash_attention(q, k, v, causal=True, alibi_slopes=slopes)
+        return jnp.sum(o * w)
+
+    bias = attn_bias_from_alibi_slopes(slopes, s, s, causal=True)
+
+    def loss_ref(q, k, v):
+        o, _ = attention_ref(
+            q.swapaxes(1, 2), k.swapaxes(1, 2), v.swapaxes(1, 2),
+            attn_bias=bias, causal=True,
+        )
+        return jnp.sum(o.swapaxes(1, 2) * w)
+
+    gi = jax.grad(loss_impl, (0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, (0, 1, 2))(q, k, v)
+    for a, b2 in zip(gi, gr):
+        assert max_err(a, b2) < 5e-4
