@@ -174,3 +174,41 @@ def test_varlen_paged_prefill():
         )
         assert_close_2ref(out[off : off + sq][None], ref, lp, mult=2.0)
         off += sq
+
+
+def test_varlen_seqused_k():
+    """seqused_k limits live keys per sequence (export.cpp's mha_varlen_fwd
+    parameter, block_info.h seqused_k path)."""
+    from xf_flash_attention_cutlass_tpu.ops.varlen import flash_attn_varlen
+
+    b, h, d = 3, 4, 64
+    q_lens = [7, 20, 33]
+    k_lens = [40, 64, 100]
+    used = [17, 64, 51]
+    total_q, total_k = sum(q_lens), sum(k_lens)
+    q = rand(jax.random.PRNGKey(0), (total_q, h, d), jnp.float16)
+    k = rand(jax.random.PRNGKey(1), (total_k, h, d), jnp.float16)
+    v = rand(jax.random.PRNGKey(2), (total_k, h, d), jnp.float16)
+    import numpy as np
+    cu_q = jnp.asarray(np.cumsum([0] + q_lens), jnp.int32)
+    cu_k = jnp.asarray(np.cumsum([0] + k_lens), jnp.int32)
+
+    out, _ = flash_attn_varlen(
+        q, k, v, cu_q, cu_k, max_seqlen_q=33, max_seqlen_k=100,
+        seqused_k=jnp.asarray(used, jnp.int32), causal=True,
+    )
+    qo = ko = 0
+    for i in range(b):
+        sq, sk, u = q_lens[i], k_lens[i], used[i]
+        qi = q[qo:qo + sq][None]
+        ki = k[ko:ko + sk][None]
+        vi = v[ko:ko + sk][None]
+        mask = (jnp.arange(sk) < u)[None]
+        ref, _ = attention_ref(qi, ki, vi, key_padding_mask=mask, causal=True)
+        lp, _ = attention_ref(
+            qi, ki, vi, key_padding_mask=mask, causal=True,
+            upcast=False, reorder_ops=True,
+        )
+        assert_close_2ref(out[qo:qo + sq][None], ref, lp, mult=2.0)
+        qo += sq
+        ko += sk

@@ -95,6 +95,7 @@ def flash_attn_varlen_func(
     deterministic: bool = False,
     return_attn_probs: bool = False,
     block_table=None,
+    seqused_k=None,  # (b,) int32: live keys per sequence (export.cpp varlen)
     dropout_seed: int = 0,
 ):
     """Ragged-batch flash attention (reference: test.py:102-149)."""
@@ -111,7 +112,8 @@ def flash_attn_varlen_func(
         # the page pools and cu_seqlens_k gives per-sequence cache lengths
         _check(k.ndim == 4, f"paged k must be (num_blocks, page, h_k, d), got {k.shape}")
         _check(block_table.ndim == 2, f"block_table must be (b, max_pages), got {block_table.shape}")
-        seqused_k = (cu_seqlens_k[1:] - cu_seqlens_k[:-1]).astype(jnp.int32)
+        if seqused_k is None:
+            seqused_k = (cu_seqlens_k[1:] - cu_seqlens_k[:-1]).astype(jnp.int32)
         if dropout_p:
             raise NotImplementedError("dropout with paged varlen")
         out, lse = flash_attn_varlen_paged(
@@ -130,6 +132,7 @@ def flash_attn_varlen_func(
         cu_seqlens_k,
         max_seqlen_q=max_seqlen_q,
         max_seqlen_k=max_seqlen_k,
+        seqused_k=seqused_k,
         causal=causal,
         window=window_size,
         softcap=softcap,

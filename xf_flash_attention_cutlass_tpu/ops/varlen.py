@@ -44,6 +44,7 @@ def flash_attn_varlen(
     *,
     max_seqlen_q: int,
     max_seqlen_k: int,
+    seqused_k: Optional[jax.Array] = None,  # (b,) int32: live keys per seq
     causal: bool = False,
     window: Tuple[int, int] = (-1, -1),
     softcap: float = 0.0,
@@ -72,6 +73,15 @@ def flash_attn_varlen(
     kidx = jnp.arange(total_k, dtype=jnp.int32)
     len_q = cu_q[1:] - cu_q[:-1]
     len_k = cu_k[1:] - cu_k[:-1]
+    if seqused_k is not None:
+        # only the first seqused_k[i] keys of sequence i are live (the
+        # reference's `seqused_k`, flash_hip.h params / block_info.h)
+        len_k = jnp.minimum(len_k, seqused_k.astype(jnp.int32))
+        kseg = jnp.where(
+            kidx - cu_k[jnp.clip(kseg, 0, None)] < len_k[jnp.clip(kseg, 0, None)],
+            kseg,
+            -2,
+        )
     seg_clip_q = jnp.clip(qseg, 0, None)
     qpos = (
         qidx
