@@ -77,3 +77,41 @@ def test_kvcache_paged_batch_idx_rejected():
             cache_seqlens=jnp.asarray([8], jnp.int32),
             block_table=bt, cache_batch_idx=jnp.asarray([0], jnp.int32),
         )
+
+
+def test_kvpacked_matches_unpacked():
+    import jax
+
+    from xf_flash_attention_cutlass_tpu import flash_attn_kvpacked_func
+
+    rng = jax.random.PRNGKey(0)
+    kq, kk = jax.random.split(rng)
+    q = jax.random.normal(kq, (2, 64, 4, 32), jnp.float32)
+    kv = jax.random.normal(kk, (2, 96, 2, 2, 32), jnp.float32)
+    out = flash_attn_kvpacked_func(q, kv, causal=True)
+    ref = flash_attn_func(q, kv[:, :, 0], kv[:, :, 1], causal=True)
+    assert jnp.array_equal(out, ref)
+
+
+def test_varlen_kvpacked_matches_unpacked():
+    import jax
+
+    from xf_flash_attention_cutlass_tpu import (
+        flash_attn_varlen_func,
+        flash_attn_varlen_kvpacked_func,
+    )
+
+    rng = jax.random.PRNGKey(1)
+    kq, kk = jax.random.split(rng)
+    q = jax.random.normal(kq, (48, 4, 32), jnp.float32)
+    kv = jax.random.normal(kk, (80, 2, 2, 32), jnp.float32)
+    cu_q = jnp.asarray([0, 16, 48], jnp.int32)
+    cu_k = jnp.asarray([0, 32, 80], jnp.int32)
+    out = flash_attn_varlen_kvpacked_func(
+        q, kv, cu_q, cu_k, max_seqlen_q=32, max_seqlen_k=48, causal=True
+    )
+    ref = flash_attn_varlen_func(
+        q, kv[:, 0], kv[:, 1], cu_q, cu_k,
+        max_seqlen_q=32, max_seqlen_k=48, causal=True,
+    )
+    assert jnp.array_equal(out, ref)

@@ -22,6 +22,8 @@ __version__ = "0.1.0"
 
 from xf_flash_attention_cutlass_tpu.api import (  # noqa: F401
     flash_attn_func,
+    flash_attn_kvpacked_func,
     flash_attn_varlen_func,
+    flash_attn_varlen_kvpacked_func,
     flash_attn_with_kvcache,
 )

@@ -78,6 +78,82 @@ def flash_attn_func(
     return out
 
 
+def flash_attn_kvpacked_func(
+    q: jax.Array,  # (b, sq, h, d)
+    kv: jax.Array,  # (b, sk, 2, h_k, d)
+    dropout_p: float = 0.0,
+    softmax_scale: Optional[float] = None,
+    causal: bool = False,
+    window_size: Tuple[int, int] = (-1, -1),
+    softcap: float = 0.0,
+    alibi_slopes: Optional[jax.Array] = None,
+    deterministic: bool = False,
+    return_softmax: bool = False,
+    dropout_seed: int = 0,
+):
+    """Dense attention over a packed (K, V) tensor (reference: test.py:74-100).
+
+    ``kv[:, :, 0]`` is K and ``kv[:, :, 1]`` is V; XLA sees the unstack as a
+    free view, so packing costs nothing on TPU.
+    """
+    _check(kv.ndim == 5 and kv.shape[2] == 2,
+           f"kv must be (b, sk, 2, h_k, d), got {kv.shape}")
+    return flash_attn_func(
+        q,
+        kv[:, :, 0],
+        kv[:, :, 1],
+        dropout_p=dropout_p,
+        softmax_scale=softmax_scale,
+        causal=causal,
+        window_size=window_size,
+        softcap=softcap,
+        alibi_slopes=alibi_slopes,
+        deterministic=deterministic,
+        return_attn_probs=return_softmax,
+        dropout_seed=dropout_seed,
+    )
+
+
+def flash_attn_varlen_kvpacked_func(
+    q,  # (total_q, h, d)
+    kv,  # (total_k, 2, h_k, d)
+    cu_seqlens_q,
+    cu_seqlens_k,
+    max_seqlen_q: int,
+    max_seqlen_k: int,
+    dropout_p: float = 0.0,
+    softmax_scale: Optional[float] = None,
+    causal: bool = False,
+    window_size: Tuple[int, int] = (-1, -1),
+    softcap: float = 0.0,
+    alibi_slopes=None,
+    deterministic: bool = False,
+    return_attn_probs: bool = False,
+    dropout_seed: int = 0,
+):
+    """Ragged-batch attention over packed (K, V) (reference: test.py:151-187)."""
+    _check(kv.ndim == 4 and kv.shape[1] == 2,
+           f"kv must be (total_k, 2, h_k, d), got {kv.shape}")
+    return flash_attn_varlen_func(
+        q,
+        kv[:, 0],
+        kv[:, 1],
+        cu_seqlens_q,
+        cu_seqlens_k,
+        max_seqlen_q,
+        max_seqlen_k,
+        dropout_p=dropout_p,
+        softmax_scale=softmax_scale,
+        causal=causal,
+        window_size=window_size,
+        softcap=softcap,
+        alibi_slopes=alibi_slopes,
+        deterministic=deterministic,
+        return_attn_probs=return_attn_probs,
+        dropout_seed=dropout_seed,
+    )
+
+
 def flash_attn_varlen_func(
     q,  # (total_q, h, d)
     k,  # (total_k, h_k, d)

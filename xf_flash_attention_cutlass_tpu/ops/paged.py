@@ -36,6 +36,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import math
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -416,7 +417,8 @@ def paged_attention(
     # double buffer (with the cross-step handoff filling inter-step gaps)
     # keeps the HBM pipe continuously busy
     page_bytes = h_k * page_pad * d_pad * k_pool.dtype.itemsize
-    pages_per_burst = max(1, min((1 << 20) // max(page_bytes, 1), pps, 16))
+    burst_target = int(os.environ.get("XFA_PAGED_BURST_BYTES", 1 << 20))
+    pages_per_burst = max(1, min(burst_target // max(page_bytes, 1), pps, 16))
 
     params = PagedParams(
         seq_q=sq,
