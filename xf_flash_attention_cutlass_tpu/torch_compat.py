@@ -35,8 +35,10 @@ def _to_jax(x):
             except Exception:
                 arr = jnp.asarray(t.cpu().numpy())
         # DLPack exchange from torch-cpu lands on JAX's CPU backend, where
-        # the compiled kernels cannot run — move to the default device
-        default = jax.devices()[0]
+        # the compiled kernels cannot run — move to the session's default
+        # device (honoring an active jax.default_device context, e.g. the
+        # CPU-pinned test env)
+        default = jax.config.jax_default_device or jax.devices()[0]
         if arr.devices() != {default}:
             arr = jax.device_put(arr, default)
         return arr
