@@ -12,7 +12,6 @@ bandwidth-bound: the step must read every live KV byte exactly once, so
 
 import json
 import sys
-import time
 
 import jax
 import jax.numpy as jnp
@@ -55,7 +54,6 @@ def main():
     )
     q = jax.random.normal(jax.random.PRNGKey(2), (B, 1, H, D), jnp.bfloat16)
 
-    @jax.jit
     def step(q, kq, ks, vq, vs, bt, kv_lens):
         o, _ = paged_attention(
             q, kq, vq, bt, kv_lens, causal=True, k_scales=ks, v_scales=vs
@@ -63,28 +61,17 @@ def main():
         return o.astype(q.dtype)
 
     # Timing methodology for the axon tunnel: block_until_ready does NOT
-    # synchronize device completion here — only a host fetch does. So we
-    # chain K data-dependent steps (the output feeds the next query) and
-    # fetch one scalar at the end; the per-step time is the slope between
-    # two chain lengths, which cancels the (large) fetch latency.
-    def chain(k_steps):
-        o = q
-        t0 = time.perf_counter()
-        for _ in range(k_steps):
-            o = step(o, kq, ks, vq, vs, bt, kv_lens)
-        _ = float(o[0, 0, 0, 0])  # host fetch = true sync
-        return time.perf_counter() - t0
+    # synchronize device completion here (only a host fetch does), and a
+    # single dispatch costs a wildly variable 0.2-0.7ms. So the step is
+    # rolled into lax.scan INSIDE one executable (output feeds the next
+    # query — a forced data dependency) and per-step time is the slope
+    # between two scan lengths: zero per-step dispatch cost in the measure.
+    from xf_flash_attention_cutlass_tpu.utils.profiling import timed_scan
 
-    chain(3)  # warmup (compile + cache)
-    # tunnel round-trips carry ~10ms of jitter, so the span between the two
-    # chain lengths must be long enough (200 steps) to dominate it
-    k1, k2 = 10, 210
-    trials = []
-    for _ in range(3):
-        t1 = min(chain(k1) for _ in range(2))
-        t2 = min(chain(k2) for _ in range(2))
-        trials.append((t2 - t1) / (k2 - k1))
-    t_layer = max(float(np.median(trials)), 1e-9)
+    t_layer = max(
+        timed_scan(step, q, kq, ks, vq, vs, bt, kv_lens, lengths=(4, 64)),
+        1e-9,
+    )
 
     # bytes the step must move: live K+V values (1B fp8) + per-token scales
     live_tokens = int(np.sum(np.asarray(kv_lens)))

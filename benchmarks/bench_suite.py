@@ -26,7 +26,7 @@ from xf_flash_attention_cutlass_tpu.utils.profiling import (
     RooflineReport,
     attention_flops,
     detect_chip,
-    timed_chain,
+    timed_scan,
 )
 
 CHIP = detect_chip()
@@ -35,12 +35,11 @@ CHIP = detect_chip()
 def bench_dense_fwd(seq, b=2, h=32, d=128):
     q = jax.random.normal(jax.random.PRNGKey(0), (b, h, seq, d), jnp.bfloat16)
 
-    @jax.jit
-    def step(q, k, v):
-        o, _ = flash_attention(q, k, v, causal=True)
-        return o.astype(q.dtype)
+    def step(x, k, v):
+        o, _ = flash_attention(x, k, v, causal=True)
+        return o.astype(x.dtype)
 
-    t = timed_chain(lambda x, k, v: step(x, k, v), q, q, q, spans=(4, 24))
+    t = timed_scan(step, q, q, q, lengths=(2, 12))
     rep = RooflineReport(
         seconds=t, flops=attention_flops(b, seq, seq, h, d, causal=True), chip=CHIP
     )
@@ -54,9 +53,9 @@ def bench_dense_fwd_bwd(seq, b=2, h=32, d=128):
         o, _ = flash_attention(q, k, v, causal=True)
         return jnp.sum(o.astype(jnp.float32) ** 2)
 
-    grad = jax.jit(jax.grad(loss))
+    grad = jax.grad(loss)
 
-    t = timed_chain(lambda x, k, v: grad(x, k, v).astype(x.dtype), q, q, q, spans=(3, 13))
+    t = timed_scan(lambda x, k, v: grad(x, k, v).astype(x.dtype), q, q, q, lengths=(2, 8))
     # fwd 2 gemms + bwd 5 gemms = 3.5x fwd flops
     rep = RooflineReport(
         seconds=t,
@@ -78,23 +77,21 @@ def bench_paged(kv_dtype, b=64, h=32, h_k=8, d=128, page=256, max_seq=2048):
     live_pages = int(np.sum(np.ceil(np.asarray(kv_lens) / page)))
 
     if kv_dtype == "bf16":
-        @jax.jit
         def step(qa, kp, vp, bt, kv_lens):
             return paged_attention(qa, kp, vp, bt, kv_lens, causal=True)[0].astype(qa.dtype)
 
-        t = timed_chain(step, q, kp, vp, bt, kv_lens)
+        t = timed_scan(step, q, kp, vp, bt, kv_lens, lengths=(4, 64))
         nbytes = 2 * live_pages * page * h_k * d * 2
     else:
         kq, ks = quantize_kv(kp, kv_dtype)
         vq, vs = quantize_kv(vp, kv_dtype)
 
-        @jax.jit
         def step(qa, kq, vq, ks, vs, bt, kv_lens):
             return paged_attention(
                 qa, kq, vq, bt, kv_lens, causal=True, k_scales=ks, v_scales=vs
             )[0].astype(qa.dtype)
 
-        t = timed_chain(step, q, kq, vq, ks, vs, bt, kv_lens)
+        t = timed_scan(step, q, kq, vq, ks, vs, bt, kv_lens, lengths=(4, 64))
         nbytes = 2 * live_pages * page * h_k * (d + 4)
     rep = RooflineReport(seconds=t, bytes=nbytes, chip=CHIP)
     print(rep.line(f"paged_decode kv={kv_dtype}"))
@@ -105,11 +102,10 @@ def bench_qmm(m=512, k=4096, n=4096):
     w = jax.random.normal(jax.random.PRNGKey(1), (k, n), jnp.float32) * 0.02
     wq, s = quantize_weight(w)
 
-    @jax.jit
     def step(x, wq, s):
         return quantized_matmul(x, wq, s).astype(x.dtype)[:, :k]
 
-    t = timed_chain(step, x, wq, s)
+    t = timed_scan(step, x, wq, s, lengths=(4, 64))
     rep = RooflineReport(seconds=t, flops=2.0 * m * k * n, bytes=float(k * n), chip=CHIP)
     print(rep.line(f"int8_qmm {m}x{k}x{n}"))
 
@@ -117,10 +113,8 @@ def bench_qmm(m=512, k=4096, n=4096):
 def bench_engine_decode(quant=None, n_layers=2):
     """Full decode step (projections + paged attention) on an 8B-class
     layer geometry, n_layers deep; per-layer time extrapolates the stack."""
-    import time
-
     from xf_flash_attention_cutlass_tpu.models.llama import LlamaConfig, init_params
-    from xf_flash_attention_cutlass_tpu.serve.engine import decode_step
+    from xf_flash_attention_cutlass_tpu.serve.engine import decode_core
 
     cfg = LlamaConfig(
         vocab_size=8192, dim=4096, n_layers=n_layers, n_heads=32,
@@ -143,23 +137,12 @@ def bench_engine_decode(quant=None, n_layers=2):
     kv_lens = jnp.full((B,), 1500, jnp.int32)
     tokens = jnp.zeros((B, 1), jnp.int32)
 
-    state = {"p": pools}  # pools are DONATED per step: thread them through
+    def step(carry, params, bt, kv_lens):
+        t, pools = carry
+        nt, _, pools = decode_core(params, t, pools, bt, kv_lens, cfg, quant)
+        return (nt[:, None].astype(jnp.int32), pools)
 
-    def chain(k_steps):
-        t = tokens
-        t0 = time.perf_counter()
-        for _ in range(k_steps):
-            t, _, state["p"] = decode_step(
-                params, t, state["p"], bt, kv_lens, cfg, quant
-            )
-            t = t[:, None]
-        _ = int(t[0, 0])
-        return time.perf_counter() - t0
-
-    chain(2)
-    t1 = min(chain(5) for _ in range(2))
-    t2 = min(chain(45) for _ in range(2))
-    t = (t2 - t1) / 40
+    t = timed_scan(step, (tokens, pools), params, bt, kv_lens, lengths=(2, 12))
     toks = B / (t / n_layers * 32)  # extrapolated to 32 layers
     print(
         f"engine_decode kv={quant or 'bf16'}: {t*1e6:.0f}us/{n_layers}-layer step"
@@ -176,5 +159,5 @@ if __name__ == "__main__":
     for kv in ("bf16", "int8", "fp8_e4m3"):
         bench_paged(kv)
     bench_qmm()
-    for kv in (None, "fp8_e4m3"):
+    for kv in (None, "int8", "fp8_e4m3"):
         bench_engine_decode(kv)

@@ -52,9 +52,14 @@ def _qmm_kernel(nk: int, x_ref, w_ref, s_ref, o_ref, acc_scr):
     def _():
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
+    import os
+    if os.environ.get("XFA_QMM_MIXED_DOT"):
+        w = w_ref[...]
+    else:
+        w = w_ref[...].astype(x_ref.dtype)  # dequant (sans scale) in VMEM
     acc_scr[...] += jax.lax.dot_general(
         x_ref[...],
-        w_ref[...].astype(x_ref.dtype),  # dequant (sans scale) in VMEM
+        w,
         (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )

@@ -102,6 +102,61 @@ def trace(logdir: str):
         jax.profiler.stop_trace()
 
 
+def timed_scan(
+    step: Callable,
+    x0,
+    *args,
+    lengths=None,  # kept for call compatibility; ignored
+    repeats: int = 3,
+    target_seconds: float = 0.04,
+    fetch: Optional[Callable] = None,
+):
+    """Per-step seconds with the iteration INSIDE one executable.
+
+    `step(x, *args) -> x_next` is rolled into one long `lax.scan` and timed
+    absolutely: a calibration scan estimates the step cost, then the final
+    scan length is picked so the run lasts >= `target_seconds`, making the
+    single dispatch's cost (a wildly variable 0.2-0.7ms through the axon
+    tunnel) a <2% one-sided bias. Slope-between-two-lengths was tried and
+    rejected: one slow dispatch on the short baseline produces impossible
+    (>1 roofline) readings. Requires `step` to be shape-stable in x (the
+    data dependency stops XLA from eliding iterations).
+    """
+    del lengths
+    import numpy as np
+
+    if fetch is None:
+        fetch = lambda x: float(jax.tree_util.tree_leaves(x)[0].reshape(-1)[0])
+
+    def make(n):
+        @jax.jit
+        def run(x, *a):
+            def body(c, _):
+                return step(c, *a), None
+
+            c, _ = jax.lax.scan(body, x, None, length=n)
+            return c
+
+        return run
+
+    cal = make(4)
+    fetch(cal(x0, *args))  # compile + warm
+    t0 = time.perf_counter()
+    fetch(cal(x0, *args))
+    est = max((time.perf_counter() - t0) / 4, 1e-7)
+
+    n = max(8, int(target_seconds / est) + 1)
+    run = make(n)
+    fetch(run(x0, *args))  # compile
+    best = None
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        fetch(run(x0, *args))
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return best / n
+
+
 def timed_chain(
     step: Callable,
     x0,
