@@ -53,7 +53,7 @@ def _positions(params, iq, ik, qpos_ref, kpos_ref):
     return qpos, kpos, kcol
 
 
-def _block_live(params, iq, ik, qpos_ref, kpos_ref, kv_lens_ref):
+def _block_live(params, ib, iq, ik, qpos_ref, kpos_ref, kv_lens_ref):
     bq, bk = params.block_q, params.block_k
     wl, wr = params.window_resolved
     if params.has_positions:
@@ -70,12 +70,12 @@ def _block_live(params, iq, ik, qpos_ref, kpos_ref, kv_lens_ref):
     if params.masks_cols_left:
         live = jnp.logical_and(live, k_hi >= q_lo - wl)
     if params.has_kv_lens:
-        live = jnp.logical_and(live, ik * bk < kv_lens_ref[0, 0])
+        live = jnp.logical_and(live, ik * bk < kv_lens_ref[ib, 0])
     return live
 
 
 def _keep_mask(params, seq_k_padded, qpos, kpos, kcol,
-               qseg_ref, kseg_ref, kv_lens_ref):
+               qseg_ref, kseg_ref, kv_lens_ref, ib):
     """Elementwise keep mask, or None when nothing masks (cf. mask.h:99-238)."""
     wl, wr = params.window_resolved
     needs_col_bound = params.has_kv_lens or (seq_k_padded != params.seq_k)
@@ -90,7 +90,7 @@ def _keep_mask(params, seq_k_padded, qpos, kpos, kcol,
     if params.has_segments:
         keep = jnp.logical_and(keep, qseg_ref[0] == kseg_ref[0])
     if params.has_kv_lens:
-        keep = jnp.logical_and(keep, kcol < kv_lens_ref[0, 0])
+        keep = jnp.logical_and(keep, kcol < kv_lens_ref[ib, 0])
     elif seq_k_padded != params.seq_k:
         keep = jnp.logical_and(keep, kcol < params.seq_k)
     return keep
@@ -107,9 +107,9 @@ def _recompute_p_ds(params, seq_k_padded, q, k, v, do, lse_row, delta_row,
         tanh_s = jnp.tanh(s / params.softcap)
         s = tanh_s * params.softcap
     keep = _keep_mask(params, seq_k_padded, qpos, kpos, kcol,
-                      qseg_ref, kseg_ref, kv_lens_ref)
+                      qseg_ref, kseg_ref, kv_lens_ref, ib)
     if params.has_alibi:
-        s = s - alibi_ref[0, 0] * jnp.abs(qpos - kpos).astype(jnp.float32)
+        s = s - alibi_ref[ib, ih] * jnp.abs(qpos - kpos).astype(jnp.float32)
     # p = exp(s - lse); empty rows (lse = -inf) and masked entries -> 0
     lse_safe = jnp.where(jnp.isfinite(lse_row), lse_row, 3.0e38)
     p = jnp.exp(s - lse_safe)
@@ -156,7 +156,7 @@ def _dq_kernel(params: FlashParams, seq_k_padded: int, *refs):
     def _init():
         dq_ref[...] = jnp.zeros_like(dq_ref)
 
-    live = _block_live(params, iq, ik, qpos_ref, kpos_ref, kv_lens_ref)
+    live = _block_live(params, ib, iq, ik, qpos_ref, kpos_ref, kv_lens_ref)
 
     @pl.when(live)
     def _body():
@@ -203,7 +203,7 @@ def _dkv_kernel(params: FlashParams, seq_k_padded: int, group: int, *refs):
         dk_ref[...] = jnp.zeros_like(dk_ref)
         dv_ref[...] = jnp.zeros_like(dv_ref)
 
-    live = _block_live(params, iq, ik, qpos_ref, kpos_ref, kv_lens_ref)
+    live = _block_live(params, ib, iq, ik, qpos_ref, kpos_ref, kv_lens_ref)
 
     @pl.when(live)
     def _body():
@@ -343,12 +343,12 @@ def flash_bwd(
         ]
         extra = []
         if has_alibi:
-            specs.append(pl.BlockSpec(
-                (1, 1), lambda *i: (i[0], hmap(*i)), memory_space=pltpu.SMEM))
+            # whole (b, h) array in SMEM, indexed in-kernel: a (1,1) block
+            # over a (b, h) array violates Mosaic's block-shape rule
+            specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
             extra.append(alibi_slopes)
         if has_kv_lens:
-            specs.append(pl.BlockSpec(
-                (1, 1), lambda *i: (i[0], 0), memory_space=pltpu.SMEM))
+            specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
             extra.append(kv_lens)
         if has_segments:
             specs.append(pl.BlockSpec((1, bq, 1), lambda *i: (i[0], qblk(*i), 0)))

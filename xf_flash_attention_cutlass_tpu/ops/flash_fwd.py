@@ -121,7 +121,11 @@ def _flash_fwd_kernel(params: FlashParams, seq_k_padded: int, *refs):
 
     @pl.when(ik == 0)
     def _init():
-        m_scr[...] = jnp.full_like(m_scr, NEG_INF)
+        # m floor: masked cols hold NEG_INF << -1e30, so exp(s - m) under-
+        # flows to exactly 0 and the post-exp keep-where is unnecessary
+        # (m can never sink below the floor, so an all-masked first block
+        # cannot produce exp(0)=1 ghosts)
+        m_scr[...] = jnp.full_like(m_scr, -1e30)
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
@@ -164,7 +168,7 @@ def _flash_fwd_kernel(params: FlashParams, seq_k_padded: int, *refs):
     if ik is not None:
         live = jnp.logical_and(live, ik * bk < params.seq_k)
     if params.has_kv_lens:
-        live = jnp.logical_and(live, ik * bk < kv_lens_ref[0, 0])
+        live = jnp.logical_and(live, ik * bk < kv_lens_ref[ib, 0])
 
     needs_col_bound = params.has_kv_lens or (seq_k_padded != params.seq_k)
     any_elementwise_mask = (
@@ -181,10 +185,11 @@ def _flash_fwd_kernel(params: FlashParams, seq_k_padded: int, *refs):
     def _body(masked: bool):
         q = q_ref[0, 0]  # (bq, d)
         k = k_ref[0, 0]  # (bk, d)
+        # q arrives pre-multiplied by softmax_scale (wrapper) — no
+        # per-block score-scaling pass
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
-        s = s * params.scale
         if params.softcap > 0.0:
             # tanh softcap on the scaled scores (utils.h:554-559)
             s = jnp.tanh(s / params.softcap) * params.softcap
@@ -199,7 +204,7 @@ def _flash_fwd_kernel(params: FlashParams, seq_k_padded: int, *refs):
             if params.has_segments:
                 keep = jnp.logical_and(keep, qseg_ref[0] == kseg_ref[0])
             if params.has_kv_lens:
-                keep = jnp.logical_and(keep, kcol < kv_lens_ref[0, 0])
+                keep = jnp.logical_and(keep, kcol < kv_lens_ref[ib, 0])
             elif seq_k_padded != params.seq_k:
                 keep = jnp.logical_and(keep, kcol < params.seq_k)
 
@@ -208,7 +213,7 @@ def _flash_fwd_kernel(params: FlashParams, seq_k_padded: int, *refs):
             # reference's row-free form (test.py:260-261) by a per-row
             # constant, which softmax cancels. Slope is NOT pre-scaled
             # (we add bias after scaling, like attention_ref).
-            slope = alibi_ref[0, 0]
+            slope = alibi_ref[ib, ih]
             s = s - slope * jnp.abs(qpos - kpos).astype(jnp.float32)
 
         if keep is not None:
@@ -222,8 +227,6 @@ def _flash_fwd_kernel(params: FlashParams, seq_k_padded: int, *refs):
             p = jnp.exp((s - m_new).astype(jnp.bfloat16))
         else:
             p = jnp.exp(s - m_new)
-        if keep is not None:
-            p = jnp.where(keep, p, jnp.zeros((), p.dtype))
         corr = jnp.exp(m_prev - m_new)
         l_new = l_scr[...] * corr + jnp.sum(
             p, axis=1, keepdims=True, dtype=jnp.float32
@@ -261,7 +264,7 @@ def _flash_fwd_kernel(params: FlashParams, seq_k_padded: int, *refs):
             interior = jnp.logical_and(interior, k_lo_pos >= q_hi - wl)
         if params.has_kv_lens:
             interior = jnp.logical_and(
-                interior, (ik + 1) * bk <= kv_lens_ref[0, 0]
+                interior, (ik + 1) * bk <= kv_lens_ref[ib, 0]
             )
         elif seq_k_padded != params.seq_k:
             interior = jnp.logical_and(interior, (ik + 1) * bk <= params.seq_k)
@@ -365,6 +368,9 @@ def flash_fwd(
     sq_pad = next_multiple(sq, bq)
     sk_pad = next_multiple(sk, bk)
 
+    # softmax scale folded into q (f32) so the kernel skips a per-block
+    # score-plane multiply; one tiny pass over q replaces nq*nk passes over s
+    q = (q.astype(jnp.float32) * scale).astype(q.dtype)
     qp = jnp.pad(q, ((0, 0), (0, 0), (0, sq_pad - sq), (0, d_pad - d)))
     kp = jnp.pad(k, ((0, 0), (0, 0), (0, sk_pad - sk), (0, d_pad - d)))
     vp = jnp.pad(v, ((0, 0), (0, 0), (0, sk_pad - sk), (0, d_pad - d)))
@@ -428,17 +434,14 @@ def flash_fwd(
     ]
     inputs = [qp, kp, vp]
     if has_alibi:
-        in_specs.append(
-            pl.BlockSpec(
-                (1, 1), lambda ib, ih, iq, ik: (ib, ih), memory_space=pltpu.SMEM
-            )
-        )
+        # whole (b, h) array in SMEM, indexed by program ids in-kernel: a
+        # (1,1) block over a (b,h) array violates Mosaic's block-shape rule
+        # (interpret mode does not check it; a real compile does)
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
         inputs.append(alibi_slopes)
     if has_kv_lens:
         in_specs.append(
-            pl.BlockSpec(
-                (1, 1), lambda ib, ih, iq, ik: (ib, 0), memory_space=pltpu.SMEM
-            )
+            pl.BlockSpec(memory_space=pltpu.SMEM)
         )
         inputs.append(kv_lens)
     if has_segments:
