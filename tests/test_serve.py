@@ -167,3 +167,63 @@ def test_engine_many_mixed_requests():
         assert out[rid] == _naive_greedy(params, cfg, prompts[rid], 3), rid
     # all pages returned after the run
     assert eng.pool.free_pages() == ecfg.num_pages
+
+
+def test_sample_tokens_greedy_and_truncation():
+    import numpy as np
+
+    from xf_flash_attention_cutlass_tpu.serve.engine import sample_tokens
+
+    logits = jnp.asarray(
+        [[0.0, 3.0, 1.0, 2.0], [5.0, 0.0, 0.0, 0.0]], jnp.float32
+    )
+    # no temperature -> argmax
+    assert list(np.asarray(sample_tokens(logits))) == [1, 0]
+    # temperature 0 rows -> argmax even with a key
+    key = jax.random.PRNGKey(0)
+    t0 = sample_tokens(logits, jnp.asarray([0.0, 0.0]), key, top_k=2)
+    assert list(np.asarray(t0)) == [1, 0]
+    # top_k=1 forces argmax at any temperature
+    t1 = sample_tokens(logits, jnp.asarray([5.0, 5.0]), key, top_k=1)
+    assert list(np.asarray(t1)) == [1, 0]
+    # top_p tiny -> only the top token survives
+    t2 = sample_tokens(logits, jnp.asarray([5.0, 5.0]), key, top_p=1e-6)
+    assert list(np.asarray(t2)) == [1, 0]
+    # high temperature without truncation: samples stay in range and are
+    # deterministic for a fixed key
+    t3 = sample_tokens(logits, jnp.asarray([10.0, 10.0]), key)
+    t4 = sample_tokens(logits, jnp.asarray([10.0, 10.0]), key)
+    assert list(np.asarray(t3)) == list(np.asarray(t4))
+    assert all(0 <= int(x) < 4 for x in np.asarray(t3))
+
+
+def test_engine_temperature_zero_matches_greedy():
+    cfg, params = _tiny()
+    ecfg = EngineConfig(max_batch=2, page_size=16, num_pages=32, max_seq=256)
+    eng = DecodeEngine(params, cfg, ecfg, dtype=jnp.float32)
+    prompt = [3, 17, 42, 9]
+    eng.add_request(0, prompt, 5, temperature=0.0)
+    out = eng.run()
+    assert list(out[0]) == _naive_greedy(params, cfg, prompt, 5)
+
+
+def test_engine_sampled_decode_runs_and_is_deterministic():
+    cfg, params = _tiny()
+    prompt = [3, 17, 42, 9, 55]
+
+    def run_once():
+        ecfg = EngineConfig(
+            max_batch=2, page_size=16, num_pages=32, max_seq=256,
+            top_k=8, sample_seed=7,
+        )
+        eng = DecodeEngine(params, cfg, ecfg, dtype=jnp.float32)
+        eng.add_request(0, prompt, 6, temperature=1.3)
+        eng.add_request(1, prompt[::-1], 6, temperature=0.0)
+        return eng.run()
+
+    a = run_once()
+    b = run_once()
+    assert a[0] == b[0] and a[1] == b[1]  # seeded => reproducible
+    assert all(0 <= t < cfg.vocab_size for t in a[0])
+    # the greedy request must be unaffected by the sampled one
+    assert list(a[1]) == _naive_greedy(params, cfg, prompt[::-1], 6)

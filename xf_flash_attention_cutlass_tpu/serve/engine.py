@@ -47,10 +47,53 @@ class EngineConfig:
     max_seq: int = 4096
     kv_quant: Optional[str] = None  # None | "int8" | "fp8_e4m3"
     eos_token: int = -1  # -1: never stop on a token
+    # sampling: per-request temperature rides add_request(); these truncation
+    # knobs are engine-wide (static shapes under jit). 0 disables either.
+    top_k: int = 0
+    top_p: float = 0.0
+    sample_seed: int = 0
 
     @property
     def max_pages_per_seq(self) -> int:
         return cdiv(self.max_seq, self.page_size)
+
+
+def sample_tokens(
+    logits: jax.Array,  # (b, V) f32
+    temperature: Optional[jax.Array] = None,  # (b,) f32; <=0 -> greedy row
+    key: Optional[jax.Array] = None,  # PRNGKey; required when any temp > 0
+    top_k: int = 0,  # keep k highest-probability tokens (0 = off)
+    top_p: float = 0.0,  # nucleus: keep smallest set with cum prob >= p
+) -> jax.Array:
+    """Batched next-token selection: greedy / temperature / top-k / top-p.
+
+    Rows with temperature <= 0 take argmax; others sample from the
+    (truncated, rescaled) categorical. Deterministic given `key` — under
+    tensor parallelism pass the same key on every device so all shards pick
+    the same token.
+    """
+    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    if temperature is None:
+        return greedy
+    t = jnp.asarray(temperature, jnp.float32)
+    scaled = logits / jnp.maximum(t, 1e-6)[:, None]
+    masked = scaled
+    if top_k and top_k > 0:
+        kth = jax.lax.top_k(scaled, top_k)[0][:, -1]  # (b,)
+        masked = jnp.where(scaled < kth[:, None], -jnp.inf, masked)
+    if top_p and top_p > 0.0:
+        order = jnp.argsort(-scaled, axis=-1)
+        probs = jax.nn.softmax(jnp.take_along_axis(scaled, order, axis=-1), axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        # keep tokens whose cumulative prob up to AND INCLUDING them first
+        # reaches p (the top token always survives)
+        drop_sorted = cum - probs >= top_p
+        drop = jnp.zeros_like(drop_sorted).at[
+            jnp.arange(order.shape[0])[:, None], order
+        ].set(drop_sorted)
+        masked = jnp.where(drop, -jnp.inf, masked)
+    sampled = jax.random.categorical(key, masked, axis=-1).astype(jnp.int32)
+    return jnp.where(t > 0.0, sampled, greedy)
 
 
 def _attn_qkv(layer, x, cfg: LlamaConfig, cos, sin, positions):
@@ -76,6 +119,10 @@ def decode_core(
     quant: Optional[str] = None,
     interpret: Optional[bool] = None,
     axis_name: Optional[str] = None,  # TP axis inside shard_map
+    temperature: Optional[jax.Array] = None,  # (b,) f32; None/<=0 -> greedy
+    sample_key: Optional[jax.Array] = None,  # PRNGKey (replicated under TP)
+    top_k: int = 0,
+    top_p: float = 0.0,
 ):
     """One batched decode step. Returns (next_tokens, logits, pools).
     Under shard_map, cfg must be the LOCAL config (parallel/tp.py) and the
@@ -141,7 +188,9 @@ def decode_core(
     if axis_name is not None:
         # vocab-sharded head -> full logits on every device
         logits = jax.lax.all_gather(logits, axis_name, axis=-1, tiled=True)
-    next_tokens = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    next_tokens = sample_tokens(
+        logits, temperature, sample_key, top_k=top_k, top_p=top_p
+    )
     if quant:
         pools = dict(k=carry[1], v=carry[2], k_s=carry[3], v_s=carry[4])
     else:
@@ -151,7 +200,7 @@ def decode_core(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "quant", "interpret"),
+    static_argnames=("cfg", "quant", "interpret", "top_k", "top_p"),
     donate_argnames=("pools",),  # in-place KV scatter: without donation the
     # whole pool is copied every step (measured 15x decode slowdown)
 )
@@ -159,9 +208,14 @@ def decode_step(
     params, tokens, pools, block_tables, kv_lens,
     cfg: LlamaConfig, quant: Optional[str] = None,
     interpret: Optional[bool] = None,
+    temperature: Optional[jax.Array] = None,
+    sample_key: Optional[jax.Array] = None,
+    top_k: int = 0, top_p: float = 0.0,
 ):
     return decode_core(
-        params, tokens, pools, block_tables, kv_lens, cfg, quant, interpret
+        params, tokens, pools, block_tables, kv_lens, cfg, quant, interpret,
+        temperature=temperature, sample_key=sample_key,
+        top_k=top_k, top_p=top_p,
     )
 
 
@@ -270,9 +324,18 @@ class DecodeEngine:
         self.queue: deque = deque()
         self.active: Dict[int, dict] = {}  # slot -> request state
         self.results: Dict[int, List[int]] = {}
+        self._sample_base = jax.random.PRNGKey(ecfg.sample_seed)
+        self._step_count = 0
 
-    def add_request(self, request_id: int, prompt: List[int], max_new_tokens: int):
-        self.queue.append((request_id, list(prompt), max_new_tokens))
+    def add_request(
+        self,
+        request_id: int,
+        prompt: List[int],
+        max_new_tokens: int,
+        temperature: float = 0.0,  # 0 = greedy; >0 samples (top_k/top_p
+        # truncation is engine-wide, EngineConfig)
+    ):
+        self.queue.append((request_id, list(prompt), max_new_tokens, temperature))
 
     # ---- internals -------------------------------------------------------
     def _bucket(self, n: int) -> int:
@@ -284,7 +347,7 @@ class DecodeEngine:
         return min(b, self.ecfg.max_seq)
 
     def _admit_one(self) -> bool:
-        rid, prompt, max_new = self.queue[0]
+        rid, prompt, max_new, temp = self.queue[0]
         slot = self.pool.admit(rid, len(prompt), len(prompt) + max_new)
         if slot < 0:
             return False
@@ -297,7 +360,7 @@ class DecodeEngine:
         append_pages = cdiv(bucket, self.ecfg.page_size)
         bt_row = np.full((1, append_pages), self.trash_page, np.int32)
         bt_row[0, :n_pages] = bt[slot, :n_pages]
-        first, _, self.pools = prefill_step(
+        first, logits, self.pools = prefill_step(
             self.params,
             jnp.asarray(tokens),
             jnp.asarray(len(prompt), jnp.int32),
@@ -307,12 +370,22 @@ class DecodeEngine:
             self.ecfg.kv_quant,
             self.interpret,
         )
+        if temp > 0.0:
+            key = jax.random.fold_in(self._sample_base, (rid << 8) ^ 0xA5)
+            first = sample_tokens(
+                logits[None],
+                jnp.asarray([temp], jnp.float32),
+                key,
+                top_k=self.ecfg.top_k,
+                top_p=self.ecfg.top_p,
+            )[0]
         self.active[slot] = dict(
             id=rid,
             prompt=prompt,
             last_token=int(first),
             generated=[int(first)],
             max_new=max_new,
+            temperature=temp,
         )
         return True
 
@@ -344,7 +417,8 @@ class DecodeEngine:
                 self.pool.retire(slot)
                 remaining = st["max_new"] - len(st["generated"])
                 self.queue.appendleft(
-                    (st["id"], st["prompt"] + st["generated"], remaining)
+                    (st["id"], st["prompt"] + st["generated"], remaining,
+                     st["temperature"])
                 )
         if not self.active:
             return emitted
@@ -354,8 +428,19 @@ class DecodeEngine:
             if slot not in self.active:
                 bt[slot, :] = self.trash_page
         tokens = np.zeros((self.ecfg.max_batch, 1), np.int32)
+        temps = np.zeros((self.ecfg.max_batch,), np.float32)
         for slot, st in self.active.items():
             tokens[slot, 0] = st["last_token"]
+            temps[slot] = st["temperature"]
+        self._step_count += 1
+        sampling = {}
+        if temps.any():
+            sampling = dict(
+                temperature=jnp.asarray(temps),
+                sample_key=jax.random.fold_in(self._sample_base, self._step_count),
+                top_k=self.ecfg.top_k,
+                top_p=self.ecfg.top_p,
+            )
         next_tokens, _, self.pools = decode_step(
             self.params,
             jnp.asarray(tokens),
@@ -365,6 +450,7 @@ class DecodeEngine:
             self.cfg,
             self.ecfg.kv_quant,
             self.interpret,
+            **sampling,
         )
         next_np = np.asarray(next_tokens)
         for slot, st in self.active.items():
