@@ -108,7 +108,7 @@ def timed_scan(
     *args,
     lengths=None,  # kept for call compatibility; ignored
     repeats: int = 3,
-    target_seconds: float = 0.04,
+    target_seconds: float = 0.08,
     fetch: Optional[Callable] = None,
 ):
     """Per-step seconds with the iteration INSIDE one executable.
@@ -139,22 +139,38 @@ def timed_scan(
 
         return run
 
-    cal = make(4)
-    fetch(cal(x0, *args))  # compile + warm
-    t0 = time.perf_counter()
-    fetch(cal(x0, *args))
-    est = max((time.perf_counter() - t0) / 4, 1e-7)
+    def timed(run, warm=False):
+        if warm:
+            fetch(run(x0, *args))  # compile + warm
+        best = None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fetch(run(x0, *args))
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        return best
 
-    n = max(8, int(target_seconds / est) + 1)
-    run = make(n)
-    fetch(run(x0, *args))  # compile
-    best = None
+    # Each invocation carries a large, variable constant cost through the
+    # axon tunnel (~45ms measured round 1 — far beyond the 0.2-0.7ms
+    # dispatch of ordinary calls), so ABSOLUTE timing of one scan reads
+    # several times slow. The slope between two scan lengths cancels it;
+    # the span is calibrated to ~`target_seconds` of step time so the
+    # constant's run-to-run variance (min-of-3 per length) stays small
+    # relative to the span. The calibration itself is a small slope so the
+    # constant does not inflate the step estimate.
+    cal1, cal2 = make(4), make(12)
+    t1 = timed(cal1, warm=True)
+    t2 = timed(cal2, warm=True)
+    est = max((t2 - t1) / 8, 1e-7)
+    n1 = 4
+    n2 = n1 + max(8, int(target_seconds / est) + 1)
+    run2 = cal2 if n2 == 12 else make(n2)
+    if run2 is not cal2:
+        fetch(run2(x0, *args))  # compile
+    trials = []
     for _ in range(repeats):
-        t0 = time.perf_counter()
-        fetch(run(x0, *args))
-        dt = time.perf_counter() - t0
-        best = dt if best is None else min(best, dt)
-    return best / n
+        trials.append((timed(run2) - timed(cal1)) / (n2 - n1))
+    return float(np.median(trials))
 
 
 def timed_chain(
