@@ -110,10 +110,13 @@ def bench_qmm(m=512, k=4096, n=4096):
     print(rep.line(f"int8_qmm {m}x{k}x{n}"))
 
 
-def bench_engine_decode(quant=None, n_layers=2):
+def bench_engine_decode(quant=None, n_layers=2, quant_weights=False):
     """Full decode step (projections + paged attention) on an 8B-class
-    layer geometry, n_layers deep; per-layer time extrapolates the stack."""
-    from xf_flash_attention_cutlass_tpu.models.llama import LlamaConfig, init_params
+    layer geometry, n_layers deep; per-layer time extrapolates the stack.
+    quant_weights additionally stores projections int8 (fused-dequant qmm)."""
+    from xf_flash_attention_cutlass_tpu.models.llama import (
+        LlamaConfig, init_params, quantize_params,
+    )
     from xf_flash_attention_cutlass_tpu.serve.engine import decode_core
 
     cfg = LlamaConfig(
@@ -121,6 +124,8 @@ def bench_engine_decode(quant=None, n_layers=2):
         n_kv_heads=8, ffn_dim=14336, max_seq_len=4096,
     )
     params = init_params(jax.random.PRNGKey(0), cfg)
+    if quant_weights:
+        params = quantize_params(params)
     B, page, mp = 64, 256, 8
     num_pages = B * mp + 1
     shape = (n_layers, num_pages, cfg.n_kv_heads, page, cfg.head_dim)
@@ -144,8 +149,9 @@ def bench_engine_decode(quant=None, n_layers=2):
 
     t = timed_scan(step, (tokens, pools), params, bt, kv_lens, lengths=(2, 12))
     toks = B / (t / n_layers * 32)  # extrapolated to 32 layers
+    wtag = "+w8" if quant_weights else ""
     print(
-        f"engine_decode kv={quant or 'bf16'}: {t*1e6:.0f}us/{n_layers}-layer step"
+        f"engine_decode kv={quant or 'bf16'}{wtag}: {t*1e6:.0f}us/{n_layers}-layer step"
         f" -> {toks:.0f} tok/s extrapolated 8B (64 reqs @1.5k ctx)"
     )
 
@@ -161,3 +167,4 @@ if __name__ == "__main__":
     bench_qmm()
     for kv in (None, "int8", "fp8_e4m3"):
         bench_engine_decode(kv)
+    bench_engine_decode("int8", quant_weights=True)

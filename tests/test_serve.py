@@ -227,3 +227,17 @@ def test_engine_sampled_decode_runs_and_is_deterministic():
     assert all(0 <= t < cfg.vocab_size for t in a[0])
     # the greedy request must be unaffected by the sampled one
     assert list(a[1]) == _naive_greedy(params, cfg, prompt[::-1], 6)
+
+
+def test_engine_int8_weights_matches_naive_on_same_params():
+    from xf_flash_attention_cutlass_tpu.models.llama import quantize_params
+
+    cfg, params = _tiny()
+    qparams = quantize_params(params)
+    ecfg = EngineConfig(max_batch=2, page_size=16, num_pages=32, max_seq=256)
+    eng = DecodeEngine(qparams, cfg, ecfg, dtype=jnp.float32)
+    prompt = [3, 17, 42, 9, 55]
+    eng.add_request(0, prompt, 5)
+    out = eng.run()
+    # oracle: naive full-recompute forward with the SAME quantized params
+    assert list(out[0]) == _naive_greedy(qparams, cfg, prompt, 5)
