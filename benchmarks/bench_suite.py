@@ -156,6 +156,45 @@ def bench_engine_decode(quant=None, n_layers=2, quant_weights=False):
     )
 
 
+def bench_engine_prefill(bucket=2048, n_layers=2, quant=None):
+    """Prefill throughput on the 8B-class layer geometry (dense flash +
+    paged KV write), per-layer time extrapolated to the 32-layer stack."""
+    from xf_flash_attention_cutlass_tpu.models.llama import LlamaConfig, init_params
+    from xf_flash_attention_cutlass_tpu.serve.engine import prefill_core
+
+    cfg = LlamaConfig(
+        vocab_size=8192, dim=4096, n_layers=n_layers, n_heads=32,
+        n_kv_heads=8, ffn_dim=14336, max_seq_len=4096,
+    )
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    page = 256
+    n_pages = bucket // page + 1
+    shape = (n_layers, n_pages + 1, cfg.n_kv_heads, page, cfg.head_dim)
+    if quant:
+        vdt = jnp.int8 if quant == "int8" else jnp.float8_e4m3fn
+        pools = dict(
+            k=jnp.zeros(shape, vdt), v=jnp.zeros(shape, vdt),
+            k_s=jnp.ones(shape[:-1], jnp.float32),
+            v_s=jnp.ones(shape[:-1], jnp.float32),
+        )
+    else:
+        pools = dict(k=jnp.zeros(shape, jnp.bfloat16), v=jnp.zeros(shape, jnp.bfloat16))
+    tokens = jnp.ones((1, bucket), jnp.int32)
+    true_len = jnp.asarray(bucket - 37, jnp.int32)
+    bt_row = jnp.arange(n_pages, dtype=jnp.int32)[None]
+
+    def step(pools, params, tokens, true_len, bt_row):
+        _, _, pools = prefill_core(params, tokens, true_len, pools, bt_row, cfg, quant)
+        return pools
+
+    t = timed_scan(step, pools, params, tokens, true_len, bt_row)
+    toks = bucket / (t / n_layers * 32)
+    print(
+        f"engine_prefill bucket={bucket} kv={quant or 'bf16'}: "
+        f"{t*1e6:.0f}us/{n_layers}-layer -> {toks:.0f} prefill tok/s extrapolated 8B"
+    )
+
+
 if __name__ == "__main__":
     print(f"chip: {CHIP.name} ({jax.devices()[0].device_kind})")
     for seq in (2048, 4096, 8192):
@@ -168,3 +207,6 @@ if __name__ == "__main__":
     for kv in (None, "int8", "fp8_e4m3"):
         bench_engine_decode(kv)
     bench_engine_decode("int8", quant_weights=True)
+    for bucket in (512, 2048):
+        bench_engine_prefill(bucket)
+    bench_engine_prefill(2048, quant="int8")

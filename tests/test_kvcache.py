@@ -361,3 +361,45 @@ def test_paged_append_kernel_matches_scatter():
     assert max_err(ok.astype(jnp.int32), rk.astype(jnp.int32)) == 0
     assert max_err(oks, rks) < 1e-6
     assert max_err(ovs, rvs) < 1e-6
+
+
+def test_paged_append_chunked_prefill():
+    """Prefill appends longer than 512 tokens run chunked over the grid
+    (bounded VMEM staging); results must still match the scatter oracle."""
+    from xf_flash_attention_cutlass_tpu.ops.kvcache import (
+        append_kv_paged,
+        append_kv_paged_quantized,
+    )
+    from xf_flash_attention_cutlass_tpu.ops.paged_append import paged_append
+    from xf_flash_attention_cutlass_tpu.quant import quantize_kv
+
+    nb, hk, page, d = 8, 2, 256, 128
+    s_new = 1024  # -> 2 chunks of 512
+    kp = rand(jax.random.PRNGKey(0), (nb, hk, page, d), jnp.float32)
+    vp = rand(jax.random.PRNGKey(1), (nb, hk, page, d), jnp.float32)
+    bt = jnp.asarray(
+        np.random.default_rng(1).permutation(nb)[:6].reshape(1, 6), jnp.int32
+    )
+    kn = rand(jax.random.PRNGKey(2), (1, s_new, hk, d), jnp.float32)
+    vn = rand(jax.random.PRNGKey(3), (1, s_new, hk, d), jnp.float32)
+    pos0 = jnp.asarray([256], jnp.int32)  # page-aligned start
+
+    ref_k, ref_v = append_kv_paged(kp, vp, kn, vn, bt, pos0)
+    out_k, out_v = paged_append(kp.copy(), vp.copy(), kn, vn, bt, pos0)
+    assert max_err(out_k, ref_k) == 0.0
+    assert max_err(out_v, ref_v) == 0.0
+
+    kq, ks = quantize_kv(kp, "int8")
+    vq, vs = quantize_kv(vp, "int8")
+    ks, vs = ks[..., 0], vs[..., 0]
+    rk, rks, rv, rvs = append_kv_paged_quantized(
+        kq, ks, vq, vs, kn, vn, bt, pos0
+    )
+    ok, ov, oks, ovs = paged_append(
+        kq.copy(), vq.copy(), kn, vn, bt, pos0,
+        k_scales=ks.copy(), v_scales=vs.copy(),
+    )
+    assert max_err(ok.astype(jnp.int32), rk.astype(jnp.int32)) == 0
+    assert max_err(ov.astype(jnp.int32), rv.astype(jnp.int32)) == 0
+    assert max_err(oks, rks) < 1e-6
+    assert max_err(ovs, rvs) < 1e-6

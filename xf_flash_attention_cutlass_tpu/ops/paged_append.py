@@ -159,7 +159,7 @@ def _decode_append_kernel(
 
 
 def _prefill_append_kernel(
-    s: int,
+    s: int,  # tokens per grid step (chunk)
     w: int,
     ws: int,
     quant: bool,
@@ -213,7 +213,7 @@ def _prefill_append_kernel(
         kstage[...] = knew_ref[0].swapaxes(0, 1).astype(kstage.dtype)
         vstage[...] = vnew_ref[0].swapaxes(0, 1).astype(vstage.dtype)
 
-    pos0 = pos_ref[0]
+    pos0 = pl.multiple_of(pos_ref[0] + s * pl.program_id(0), w)
     lead = (lidx_ref[0],) if has_layer else ()
 
     copies = []
@@ -332,10 +332,28 @@ def paged_append(
     if has_layer:
         scalars.append(jnp.asarray(layer_idx, jnp.int32).reshape(1))
 
+    # Long prefill appends are chunked over the grid so VMEM staging stays
+    # bounded (a 2048-token 8-head append would otherwise need ~40MB of
+    # scoped VMEM). Chunks must keep w/ws window alignment: multiples of
+    # lcm(w, ws) = ws (ws % w == 0 for all supported dtypes).
+    chunk = sq
+    if prefill and sq > 512:
+        for c in (512, 256, 128):
+            if sq % c == 0:
+                chunk = c
+                break
+    n_chunks = sq // chunk if prefill else 1
+
     inputs = [k_new, v_new, k_pool, v_pool]
+    if prefill and n_chunks > 1:
+        new_spec = pl.BlockSpec(
+            (1, chunk, h_k, d), lambda i, *_: (0, i, 0, 0)
+        )
+    else:
+        new_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
     in_specs = [
-        pl.BlockSpec(memory_space=pltpu.VMEM),
-        pl.BlockSpec(memory_space=pltpu.VMEM),
+        new_spec,
+        new_spec,
         pl.BlockSpec(memory_space=pl.ANY),
         pl.BlockSpec(memory_space=pl.ANY),
     ]
@@ -367,10 +385,10 @@ def paged_append(
         aliases[ns + 5] = 3
 
     if prefill:
-        s_pad_ws = cdiv(sq, ws) * ws
+        s_pad_ws = cdiv(chunk, ws) * ws
         scratch = [
-            pltpu.VMEM((h_k, sq, d), qdt),
-            pltpu.VMEM((h_k, sq, d), qdt),
+            pltpu.VMEM((h_k, chunk, d), qdt),
+            pltpu.VMEM((h_k, chunk, d), qdt),
         ]
         if quant:
             scratch += [
@@ -379,7 +397,7 @@ def paged_append(
             ]
         scratch.append(pltpu.SemaphoreType.DMA((8,)))
         kernel = functools.partial(
-            _prefill_append_kernel, sq, w, ws, quant, has_layer, qmax
+            _prefill_append_kernel, chunk, w, ws, quant, has_layer, qmax
         )
     else:
         scratch = []
@@ -406,7 +424,7 @@ def paged_append(
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=len(scalars),
-        grid=(1,),
+        grid=(n_chunks,),
         in_specs=in_specs,
         out_specs=out_specs,
         scratch_shapes=scratch,

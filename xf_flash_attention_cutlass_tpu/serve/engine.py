@@ -219,12 +219,7 @@ def decode_step(
     )
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("cfg", "quant", "interpret"),
-    donate_argnames=("pools",),
-)
-def prefill_step(
+def prefill_core(
     params,
     tokens,  # (1, S) int32, padded to bucket S
     true_len,  # () int32
@@ -289,6 +284,21 @@ def prefill_step(
     else:
         pools = dict(k=carry[1], v=carry[2])
     return first_token, logits, pools
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "quant", "interpret"),
+    donate_argnames=("pools",),
+)
+def prefill_step(
+    params, tokens, true_len, pools, bt_row,
+    cfg: LlamaConfig, quant: Optional[str] = None,
+    interpret: Optional[bool] = None,
+):
+    return prefill_core(
+        params, tokens, true_len, pools, bt_row, cfg, quant, interpret
+    )
 
 
 class DecodeEngine:
