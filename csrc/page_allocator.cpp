@@ -176,4 +176,74 @@ int64_t xfa_pool_alloc_count(void* h) {
   return static_cast<Pool*>(h)->alloc_count;
 }
 
+// ---- snapshot / restore (engine checkpointing) ------------------------
+//
+// Serialized layout (int32 words):
+//   [num_pages, page_size, max_requests, n_free, free_list...,
+//    per slot: active, id, seq_len, target_len, n_pages, pages...]
+
+int32_t xfa_pool_snapshot_size(void* h) {
+  Pool* p = static_cast<Pool*>(h);
+  int32_t words = 4 + static_cast<int32_t>(p->free_list.size());
+  for (const Request& r : p->requests)
+    words += 5 + static_cast<int32_t>(r.pages.size());
+  return words;
+}
+
+// Writes the snapshot into `buf` (capacity `cap` words). Returns the number
+// of words written, or -1 if the buffer is too small.
+int32_t xfa_pool_snapshot(void* h, int32_t* buf, int32_t cap) {
+  Pool* p = static_cast<Pool*>(h);
+  if (cap < xfa_pool_snapshot_size(h)) return -1;
+  int32_t* w = buf;
+  *w++ = p->num_pages;
+  *w++ = p->page_size;
+  *w++ = p->max_requests;
+  *w++ = static_cast<int32_t>(p->free_list.size());
+  for (int32_t pg : p->free_list) *w++ = pg;
+  for (const Request& r : p->requests) {
+    *w++ = r.active ? 1 : 0;
+    *w++ = r.id;
+    *w++ = r.seq_len;
+    *w++ = r.target_len;
+    *w++ = static_cast<int32_t>(r.pages.size());
+    for (int32_t pg : r.pages) *w++ = pg;
+  }
+  return static_cast<int32_t>(w - buf);
+}
+
+// Restores a snapshot into an existing pool with matching geometry.
+// Returns 0 on success, -1 on malformed input or geometry mismatch.
+int32_t xfa_pool_restore(void* h, const int32_t* buf, int32_t n) {
+  Pool* p = static_cast<Pool*>(h);
+  if (n < 4) return -1;
+  const int32_t* r = buf;
+  const int32_t* end = buf + n;
+  if (r[0] != p->num_pages || r[1] != p->page_size ||
+      r[2] != p->max_requests)
+    return -1;
+  int32_t n_free = r[3];
+  r += 4;
+  if (n_free < 0 || r + n_free > end) return -1;
+  std::vector<int32_t> free_list(r, r + n_free);
+  r += n_free;
+  std::vector<Request> requests(p->max_requests);
+  for (int32_t s = 0; s < p->max_requests; ++s) {
+    if (r + 5 > end) return -1;
+    Request& q = requests[s];
+    q.active = r[0] != 0;
+    q.id = r[1];
+    q.seq_len = r[2];
+    q.target_len = r[3];
+    int32_t np = r[4];
+    r += 5;
+    if (np < 0 || r + np > end) return -1;
+    q.pages.assign(r, r + np);
+    r += np;
+  }
+  p->free_list = std::move(free_list);
+  p->requests = std::move(requests);
+  return 0;
+}
+
 }  // extern "C"

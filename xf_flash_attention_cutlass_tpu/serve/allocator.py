@@ -65,6 +65,20 @@ def _build() -> Optional[ctypes.CDLL]:
         ]
         lib.xfa_pool_alloc_count.restype = ctypes.c_int64
         lib.xfa_pool_alloc_count.argtypes = [ctypes.c_void_p]
+        lib.xfa_pool_snapshot_size.restype = ctypes.c_int32
+        lib.xfa_pool_snapshot_size.argtypes = [ctypes.c_void_p]
+        lib.xfa_pool_snapshot.restype = ctypes.c_int32
+        lib.xfa_pool_snapshot.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int32,
+        ]
+        lib.xfa_pool_restore.restype = ctypes.c_int32
+        lib.xfa_pool_restore.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int32,
+        ]
         _lib = lib
         return _lib
 
@@ -73,6 +87,7 @@ class _PyPool:
     """Pure-Python fallback with identical semantics."""
 
     def __init__(self, num_pages: int, page_size: int, max_requests: int):
+        self.num_pages = num_pages
         self.page_size = page_size
         self.free_list = list(range(num_pages - 1, -1, -1))
         self.slots = [None] * max_requests  # (id, seq_len, pages)
@@ -106,6 +121,31 @@ class _PyPool:
         if ent is not None:
             self.free_list.extend(ent[2])
             self.slots[slot] = None
+
+    def snapshot(self):
+        words = [self.num_pages, self.page_size, len(self.slots),
+                 len(self.free_list)] + list(self.free_list)
+        for ent in self.slots:
+            if ent is None:
+                words += [0, -1, 0, 0, 0]
+            else:
+                words += [1, ent[0], ent[1], 0, len(ent[2])] + list(ent[2])
+        return np.asarray(words, np.int32)
+
+    def restore(self, words):
+        w = np.asarray(words, np.int32).tolist()
+        if w[:3] != [self.num_pages, self.page_size, len(self.slots)]:
+            raise ValueError("allocator snapshot geometry mismatch")
+        n_free = w[3]
+        r = 4
+        self.free_list = w[r : r + n_free]
+        r += n_free
+        for s in range(len(self.slots)):
+            active, rid, seq_len, _target, n_pg = w[r : r + 5]
+            r += 5
+            pages = w[r : r + n_pg]
+            r += n_pg
+            self.slots[s] = [rid, seq_len, pages] if active else None
 
 
 class PagePool:
@@ -160,6 +200,34 @@ class PagePool:
             return self._lib.xfa_request_seq_len(self._h, slot)
         ent = self._py.slots[slot]
         return ent[1] if ent else -1
+
+    def snapshot(self) -> np.ndarray:
+        """Serialize allocator state (free list + per-slot page maps) to an
+        int32 vector — the checkpointable control-plane state."""
+        if self._lib:
+            n = self._lib.xfa_pool_snapshot_size(self._h)
+            buf = np.zeros((n,), np.int32)
+            wrote = self._lib.xfa_pool_snapshot(
+                self._h, buf.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), n
+            )
+            if wrote < 0:
+                raise RuntimeError("allocator snapshot failed")
+            return buf[:wrote]
+        return self._py.snapshot()
+
+    def restore(self, words: np.ndarray) -> None:
+        """Restore state captured by snapshot() into a same-geometry pool."""
+        buf = np.ascontiguousarray(np.asarray(words, np.int32))
+        if self._lib:
+            rc = self._lib.xfa_pool_restore(
+                self._h,
+                buf.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                len(buf),
+            )
+            if rc != 0:
+                raise ValueError("allocator snapshot geometry mismatch")
+        else:
+            self._py.restore(buf)
 
     def build_block_tables(self, max_pages: int):
         """Returns (block_tables (max_requests, max_pages) int32,
