@@ -166,3 +166,55 @@ def test_tp_paged_decode_matches_single(quant):
     assert jnp.array_equal(tok, ref_tok)
     for name in pools:
         assert max_err(out_pools[name], ref_pools[name]) < 1e-5, name
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_ulysses_attention_matches_dense(causal):
+    from xf_flash_attention_cutlass_tpu.parallel.ulysses import ulysses_attention
+
+    n = 4
+    mesh = make_mesh(cp=n, devices=_cpu_devices(n))
+    b, h, s_local, d = 1, 4, 64, 64
+    s = s_local * n
+    q = jax.random.normal(jax.random.PRNGKey(1), (b, h, s, d), jnp.float32)
+    k = jax.random.normal(jax.random.PRNGKey(2), (b, h, s, d), jnp.float32)
+    v = jax.random.normal(jax.random.PRNGKey(3), (b, h, s, d), jnp.float32)
+    o_ref, lse_ref = flash_fwd(q, k, v, causal=causal)
+    uly = jax.jit(
+        jax.shard_map(
+            lambda q, k, v: ulysses_attention(q, k, v, "cp", causal=causal),
+            mesh=mesh,
+            in_specs=(P(None, None, "cp", None),) * 3,
+            out_specs=(P(None, None, "cp", None), P(None, None, "cp")),
+            check_vma=False,
+        )
+    )
+    o, lse = uly(q, k, v)
+    assert max_err(o, o_ref) < 1e-4
+    assert max_err(lse, lse_ref) < 1e-4
+
+
+@pytest.mark.parametrize("h_k", [2, 8])
+def test_ulysses_attention_gqa(h_k):
+    """h_k == 8: kv heads split via all_to_all; h_k == 2 < n: kv heads kept
+    whole, sequence all-gathered."""
+    from xf_flash_attention_cutlass_tpu.parallel.ulysses import ulysses_attention
+
+    n = 4
+    mesh = make_mesh(cp=n, devices=_cpu_devices(n))
+    b, h, s_local, d = 1, 8, 32, 64
+    s = s_local * n
+    q = jax.random.normal(jax.random.PRNGKey(1), (b, h, s, d), jnp.float32)
+    k = jax.random.normal(jax.random.PRNGKey(2), (b, h_k, s, d), jnp.float32)
+    v = jax.random.normal(jax.random.PRNGKey(3), (b, h_k, s, d), jnp.float32)
+    o_ref, _ = flash_fwd(q, k, v, causal=True)
+    uly = jax.jit(
+        jax.shard_map(
+            lambda q, k, v: ulysses_attention(q, k, v, "cp", causal=True)[0],
+            mesh=mesh,
+            in_specs=(P(None, None, "cp", None),) * 3,
+            out_specs=P(None, None, "cp", None),
+            check_vma=False,
+        )
+    )
+    assert max_err(uly(q, k, v), o_ref) < 1e-4

@@ -6,3 +6,4 @@ from xf_flash_attention_cutlass_tpu.parallel.tp import (  # noqa: F401
     tp_loss_and_grad,
 )
 from xf_flash_attention_cutlass_tpu.parallel.ring import ring_attention  # noqa: F401
+from xf_flash_attention_cutlass_tpu.parallel.ulysses import ulysses_attention  # noqa: F401
