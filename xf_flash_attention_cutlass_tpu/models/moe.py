@@ -1,0 +1,248 @@
+"""Mixtral-style sparse Mixture-of-Experts decoder — the second model family
+on top of the attention stack (the reference repo is attention-only; this is
+scale-out surface required by the EP axis of the multi-chip story).
+
+Design (TPU-first):
+- Router + top-k gating in fp32; expert FFNs are the same SwiGLU as llama.
+- Token->expert dispatch uses the static-shape GShard capacity scheme:
+  a (tokens, experts, capacity) dispatch/combine pair built from cumsum
+  position counters. Everything is dense einsums on the MXU — no dynamic
+  shapes, no sorts — so it jits and shards cleanly. Overflow tokens beyond
+  an expert's capacity are dropped (their combine weight is zero) exactly
+  like GShard/Switch; capacity_factor controls the drop rate.
+- Expert parallelism lives in parallel/ep.py: the expert axis of the params
+  is sharded over the "ep" mesh axis and the dispatched (expert, capacity)
+  blocks ride one all_to_all each way.
+
+The dense path below (`moe_mlp_block`) is also the single-device execution:
+with ep=1 the einsum dispatch is simply a batched gather feeding one big
+vmapped FFN — MXU-shaped work.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from xf_flash_attention_cutlass_tpu.models.llama import (
+    LlamaConfig,
+    attention_block,
+    rms_norm,
+    _proj,
+)
+from xf_flash_attention_cutlass_tpu.ops.rotary import rotary_frequencies
+
+
+@dataclasses.dataclass(frozen=True)
+class MoEConfig(LlamaConfig):
+    n_experts: int = 8
+    top_k: int = 2
+    # capacity per expert = ceil(tokens * top_k / n_experts) * capacity_factor
+    capacity_factor: float = 1.25
+    router_aux_weight: float = 0.01
+
+    @classmethod
+    def mixtral8x7b_geometry(cls) -> "MoEConfig":
+        return cls(
+            vocab_size=32000, dim=4096, n_layers=32, n_heads=32,
+            n_kv_heads=8, ffn_dim=14336, n_experts=8, top_k=2,
+        )
+
+    @classmethod
+    def tiny(cls) -> "MoEConfig":
+        return cls(
+            vocab_size=512, dim=128, n_layers=2, n_heads=4, n_kv_heads=2,
+            ffn_dim=256, max_seq_len=512, n_experts=4, top_k=2,
+        )
+
+
+def expert_capacity(cfg: MoEConfig, n_tokens: int, ep: int = 1) -> int:
+    """Static per-expert capacity for a dispatch over n_tokens (per shard).
+    Rounded up to a multiple of 8 so the (capacity, d) expert GEMMs stay
+    sublane-aligned on the MXU."""
+    c = math.ceil(n_tokens * cfg.top_k / cfg.n_experts * cfg.capacity_factor)
+    return max(8, -(-c // 8) * 8)
+
+
+def init_moe_params(key, cfg: MoEConfig, dtype=jnp.bfloat16) -> Dict[str, Any]:
+    d, hd = cfg.dim, cfg.head_dim
+    n_kv_dim = cfg.n_kv_heads * hd
+    keys = jax.random.split(key, cfg.n_layers + 2)
+
+    def dense(k, shape, fan_in):
+        return (jax.random.normal(k, shape, jnp.float32) / math.sqrt(fan_in)).astype(dtype)
+
+    layers = []
+    for li in range(cfg.n_layers):
+        lk = jax.random.split(keys[li], 9)
+        E, f = cfg.n_experts, cfg.ffn_dim
+        layers.append(
+            dict(
+                attn_norm=jnp.ones((d,), dtype),
+                wq=dense(lk[0], (d, cfg.n_heads * hd), d),
+                wk=dense(lk[1], (d, n_kv_dim), d),
+                wv=dense(lk[2], (d, n_kv_dim), d),
+                wo=dense(lk[3], (cfg.n_heads * hd, d), cfg.n_heads * hd),
+                mlp_norm=jnp.ones((d,), dtype),
+                # router stays fp32: gate logits are numerically sensitive
+                router=(jax.random.normal(lk[4], (d, E), jnp.float32) * 0.02),
+                # experts stacked on a leading E axis (sharded over "ep")
+                w_gate=dense(lk[5], (E, d, f), d),
+                w_up=dense(lk[6], (E, d, f), d),
+                w_down=dense(lk[7], (E, f, d), f),
+            )
+        )
+    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *layers)
+    return dict(
+        embed=(jax.random.normal(keys[-2], (cfg.vocab_size, d), jnp.float32) * 0.02).astype(dtype),
+        layers=stacked,
+        final_norm=jnp.ones((d,), dtype),
+        lm_head=dense(keys[-1], (d, cfg.vocab_size), d),
+    )
+
+
+def top_k_dispatch(
+    probs: jax.Array,  # (n, E) fp32 router probabilities
+    top_k: int,
+    capacity: int,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """GShard-style static dispatch.
+
+    Returns (dispatch, combine, aux):
+      dispatch (n, E, C) 0/1 — token n occupies slot c of expert e
+      combine  (n, E, C) f32 — dispatch weighted by the normalized gate
+      aux      scalar load-balance loss  E * sum_e mean_fraction_e * mean_prob_e
+    Slot assignment is in (choice, token) priority order: all first choices
+    are seated before any second choice, matching GShard's semantics.
+    """
+    n, E = probs.shape
+    gate_vals, gate_idx = jax.lax.top_k(probs, top_k)  # (n, k)
+    gate_vals = gate_vals / jnp.maximum(
+        jnp.sum(gate_vals, axis=-1, keepdims=True), 1e-9
+    )
+
+    dispatch = jnp.zeros((n, E, capacity), probs.dtype)
+    combine = jnp.zeros((n, E, capacity), probs.dtype)
+    counts = jnp.zeros((E,), jnp.int32)
+    for j in range(top_k):
+        oh = jax.nn.one_hot(gate_idx[:, j], E, dtype=jnp.int32)  # (n, E)
+        # position of this token within expert e's queue (exclusive cumsum
+        # over tokens, offset by seats taken in earlier choice rounds)
+        pos = jnp.cumsum(oh, axis=0) - oh + counts[None, :]
+        counts = counts + jnp.sum(oh, axis=0)
+        slot = jnp.sum(pos * oh, axis=1)  # (n,)
+        keep = slot < capacity
+        slot_oh = jax.nn.one_hot(slot, capacity, dtype=probs.dtype)  # (n, C)
+        d_j = (
+            oh.astype(probs.dtype)[:, :, None]
+            * slot_oh[:, None, :]
+            * keep.astype(probs.dtype)[:, None, None]
+        )
+        dispatch = dispatch + d_j
+        combine = combine + gate_vals[:, j][:, None, None] * d_j
+
+    # Switch-transformer load-balance auxiliary (computed on first choice)
+    first = jax.nn.one_hot(gate_idx[:, 0], E, dtype=probs.dtype)
+    frac = jnp.mean(first, axis=0)  # fraction of tokens routed to e
+    mean_prob = jnp.mean(probs, axis=0)
+    aux = E * jnp.sum(frac * mean_prob)
+    return dispatch, combine, aux
+
+
+def expert_ffn(w_gate, w_up, w_down, x):
+    """SwiGLU over (E, C, d) with per-expert weights (E, d, f)/(E, f, d)."""
+    gate = jnp.einsum("ecd,edf->ecf", x, w_gate)
+    up = jnp.einsum("ecd,edf->ecf", x, w_up)
+    return jnp.einsum("ecf,efd->ecd", jax.nn.silu(gate) * up, w_down)
+
+
+def moe_mlp_block(
+    layer: Dict[str, Any],
+    x: jax.Array,  # (b, s, d)
+    cfg: MoEConfig,
+    capacity: Optional[int] = None,
+    ep_fn=None,  # parallel/ep.py injects the all_to_all expert apply here
+) -> Tuple[jax.Array, jax.Array]:
+    """Sparse MoE MLP. Returns (residual output, aux loss)."""
+    b, s, d = x.shape
+    n = b * s
+    if capacity is None:
+        capacity = expert_capacity(cfg, n)
+    h = rms_norm(x, layer["mlp_norm"], cfg.rms_eps)
+    flat = h.reshape(n, d)
+    probs = jax.nn.softmax(
+        flat.astype(jnp.float32) @ layer["router"], axis=-1
+    )
+    dispatch, combine, aux = top_k_dispatch(probs, cfg.top_k, capacity)
+    # (n, E, C) x (n, d) -> (E, C, d): MXU-shaped gather
+    expert_in = jnp.einsum("nec,nd->ecd", dispatch.astype(flat.dtype), flat)
+    if ep_fn is not None:
+        expert_out = ep_fn(layer, expert_in)
+    else:
+        expert_out = expert_ffn(
+            layer["w_gate"], layer["w_up"], layer["w_down"], expert_in
+        )
+    y = jnp.einsum(
+        "nec,ecd->nd", combine.astype(expert_out.dtype), expert_out
+    )
+    return x + y.reshape(b, s, d).astype(x.dtype), aux
+
+
+def moe_mlp_block_dense_oracle(layer, x, cfg: MoEConfig):
+    """Every expert over every token, weighted by the (re-normalized) top-k
+    gate — the no-capacity-drop oracle the dispatch path must match when
+    capacity is unbounded. Test-only."""
+    b, s, d = x.shape
+    h = rms_norm(x, layer["mlp_norm"], cfg.rms_eps).reshape(b * s, d)
+    probs = jax.nn.softmax(h.astype(jnp.float32) @ layer["router"], axis=-1)
+    gate_vals, gate_idx = jax.lax.top_k(probs, cfg.top_k)
+    gate_vals = gate_vals / jnp.sum(gate_vals, axis=-1, keepdims=True)
+    weights = jnp.zeros_like(probs)
+    for j in range(cfg.top_k):
+        weights = weights + gate_vals[:, j][:, None] * jax.nn.one_hot(
+            gate_idx[:, j], cfg.n_experts, dtype=probs.dtype
+        )
+    outs = expert_ffn(
+        layer["w_gate"], layer["w_up"], layer["w_down"],
+        jnp.broadcast_to(h[None], (cfg.n_experts,) + h.shape),
+    )  # (E, n, d)
+    y = jnp.einsum("ne,end->nd", weights.astype(outs.dtype), outs)
+    return x + y.reshape(b, s, d).astype(x.dtype)
+
+
+def moe_forward(
+    params: Dict[str, Any],
+    tokens: jax.Array,  # (b, s)
+    cfg: MoEConfig,
+    capacity: Optional[int] = None,
+    ep_fn=None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Causal forward. Returns (logits (b, s, vocab) fp32, mean aux loss)."""
+    b, s = tokens.shape
+    x = params["embed"][tokens]
+    positions = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32)[None], (b, s))
+    cos, sin = rotary_frequencies(cfg.head_dim, cfg.max_seq_len, cfg.rope_base)
+
+    def body(x, layer):
+        x = attention_block(layer, x, cfg, cos, sin, positions)
+        x, aux = moe_mlp_block(layer, x, cfg, capacity=capacity, ep_fn=ep_fn)
+        return x, aux
+
+    x, auxes = jax.lax.scan(body, x, params["layers"])
+    x = rms_norm(x, params["final_norm"], cfg.rms_eps)
+    logits = _proj(x, params["lm_head"]).astype(jnp.float32)
+    return logits, jnp.mean(auxes)
+
+
+def moe_loss_fn(params, tokens, cfg: MoEConfig, capacity=None, ep_fn=None):
+    logits, aux = moe_forward(
+        params, tokens[:, :-1], cfg, capacity=capacity, ep_fn=ep_fn
+    )
+    targets = tokens[:, 1:]
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+    return jnp.mean(nll) + cfg.router_aux_weight * aux

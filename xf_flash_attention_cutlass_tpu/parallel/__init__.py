@@ -7,3 +7,13 @@ from xf_flash_attention_cutlass_tpu.parallel.tp import (  # noqa: F401
 )
 from xf_flash_attention_cutlass_tpu.parallel.ring import ring_attention  # noqa: F401
 from xf_flash_attention_cutlass_tpu.parallel.ulysses import ulysses_attention  # noqa: F401
+from xf_flash_attention_cutlass_tpu.parallel.pp import (  # noqa: F401
+    pp_forward,
+    pp_loss_and_grad,
+    shard_pp_params,
+)
+from xf_flash_attention_cutlass_tpu.parallel.ep import (  # noqa: F401
+    moe_ep_forward,
+    moe_ep_loss_and_grad,
+    shard_moe_params,
+)

@@ -19,14 +19,18 @@ def make_mesh(
     dp: int = 1,
     tp: int = 1,
     cp: int = 1,
+    pp: int = 1,
+    ep: int = 1,
     devices: Optional[Sequence[jax.Device]] = None,
 ) -> Mesh:
-    """Mesh with axes (dp, cp, tp); tp is the fastest-varying axis so that
-    tensor-parallel collectives ride neighbouring ICI links."""
+    """Mesh with axes (dp, pp, cp, ep, tp); tp is the fastest-varying axis
+    so tensor-parallel collectives ride neighbouring ICI links, pp is
+    outermost-but-dp so stage hops cross the slowest links (pipeline
+    transfers are the rarest/most latency-tolerant collective)."""
     if devices is None:
         devices = jax.devices()
-    n = dp * tp * cp
+    n = dp * tp * cp * pp * ep
     if len(devices) < n:
         raise ValueError(f"need {n} devices, have {len(devices)}")
-    arr = np.asarray(devices[:n]).reshape(dp, cp, tp)
-    return Mesh(arr, ("dp", "cp", "tp"))
+    arr = np.asarray(devices[:n]).reshape(dp, pp, cp, ep, tp)
+    return Mesh(arr, ("dp", "pp", "cp", "ep", "tp"))
