@@ -127,6 +127,28 @@ def test_quantized_matmul_matches_dequant():
     assert max_err(y, y_ref) < 1e-4
 
 
+def test_quantized_matmul_stacked_layer_idx():
+    """Stacked-weight path (in-kernel layer select) == per-layer slices."""
+    import jax.numpy as jnp2
+
+    L = 3
+    x = rand(jax.random.PRNGKey(0), (64, 256), jnp.float32)
+    w = rand(jax.random.PRNGKey(1), (L, 256, 512), jnp.float32)
+    wq_s = [quantize_weight(w[l]) for l in range(L)]
+    wq = jnp2.stack([a for a, _ in wq_s])
+    s = jnp2.stack([b for _, b in wq_s])
+    for l in range(L):
+        y = quantized_matmul(x, wq, s, layer_idx=jnp2.asarray(l, jnp2.int32))
+        y_ref = quantized_matmul(x, wq[l], s[l])
+        assert max_err(y, y_ref) < 1e-5, l
+    # and under a scan with a traced index (the engine's usage)
+    def body(c, l):
+        return c, quantized_matmul(x, wq, s, layer_idx=l)
+    _, ys = jax.lax.scan(body, 0, jnp2.arange(L, dtype=jnp2.int32))
+    for l in range(L):
+        assert max_err(ys[l], quantized_matmul(x, wq[l], s[l])) < 1e-5
+
+
 def test_quantized_matmul_unaligned():
     x = rand(jax.random.PRNGKey(0), (7, 100), jnp.float32)
     w = rand(jax.random.PRNGKey(1), (100, 300), jnp.float32)

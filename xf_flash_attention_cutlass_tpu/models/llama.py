@@ -162,6 +162,26 @@ def _sg_bwd(s, _, ct):
 scale_grad.defvjp(_sg_fwd, _sg_bwd)
 
 
+def split_layer_params(layers):
+    """Partition stacked layer params for a layer lax.scan: quantized
+    projection tuples must stay OUT of the scan xs — a scan-xs dynamic
+    slice feeding the qmm pallas_call cannot fuse, so XLA materializes a
+    full per-layer weight copy in HBM every step (measured 273 GB/s
+    effective = exactly HBM/3 on the 8B decode step). The stacked tuples
+    are consumed via quantized_matmul(layer_idx=...) instead."""
+    xs = {k: v for k, v in layers.items() if not isinstance(v, tuple)}
+    stacked = {k: v for k, v in layers.items() if isinstance(v, tuple)}
+    return xs, stacked
+
+
+def layer_view(xs_slice, stacked, l):
+    """Reassemble one layer's param dict inside the scan body."""
+    layer = dict(xs_slice)
+    for name, (wq, s) in stacked.items():
+        layer[name] = (wq, s, l)
+    return layer
+
+
 def rms_norm(x: jax.Array, w: jax.Array, eps: float) -> jax.Array:
     xf = x.astype(jnp.float32)
     var = jnp.mean(xf * xf, axis=-1, keepdims=True)
@@ -169,8 +189,16 @@ def rms_norm(x: jax.Array, w: jax.Array, eps: float) -> jax.Array:
 
 
 def _proj(x: jax.Array, w) -> jax.Array:
-    """Dense or weight-quantized projection."""
-    if isinstance(w, tuple):  # (w_q, scale) from quantize_params
+    """Dense or weight-quantized projection.
+
+    w forms: plain array | (w_q, scale) | (w_q_stacked, scale_stacked,
+    layer_idx) — the third form reads one layer's tiles straight out of the
+    (L, din, dout) stack inside the qmm kernel, avoiding the per-layer HBM
+    copy a lax.scan xs slice would cost at the pallas_call boundary
+    (serve/engine.py layer loops use it)."""
+    if isinstance(w, tuple):  # from quantize_params
+        if len(w) == 3:
+            return quantized_matmul(x, w[0], w[1], layer_idx=w[2])
         return quantized_matmul(x, w[0], w[1])
     return x @ w
 
@@ -244,12 +272,17 @@ def forward(
         positions = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32)[None], (b, s))
     cos, sin = rotary_frequencies(cfg.head_dim, cfg.max_seq_len, cfg.rope_base)
 
-    def body(x, layer):
+    layers_xs, layers_stacked = split_layer_params(params["layers"])
+
+    def body(x, xs):
+        layer_xs, l = xs
+        layer = layer_view(layer_xs, layers_stacked, l)
         x = attention_block(layer, x, cfg, cos, sin, positions, kv_lens)
         x = mlp_block(layer, x, cfg)
         return x, None
 
-    x, _ = jax.lax.scan(body, x, params["layers"])
+    L = jnp.arange(cfg.n_layers, dtype=jnp.int32)
+    x, _ = jax.lax.scan(body, x, (layers_xs, L))
     x = rms_norm(x, params["final_norm"], cfg.rms_eps)
     return _proj(x, params["lm_head"]).astype(jnp.float32)
 

@@ -67,11 +67,38 @@ def _qmm_kernel(nk: int, x_ref, w_ref, s_ref, o_ref, acc_scr):
         o_ref[...] = (acc_scr[...] * s_ref[...]).astype(o_ref.dtype)
 
 
+def _qmm_stacked_kernel(nk: int, l_ref, x_ref, w_ref, s_ref, o_ref, acc_scr):
+    """Stacked-weight variant: w_ref is a (1, bk, bn) block of the (L, K, N)
+    stack, selected by the scalar-prefetched layer index. Keeping the stack
+    indexing INSIDE the kernel is load-bearing: a pallas_call boundary cannot
+    fuse an XLA dynamic-slice, so slicing layer weights outside the kernel
+    (e.g. as lax.scan xs) materializes a full per-layer weight copy in HBM —
+    measured 273 GB/s effective (= exactly HBM/3: slice read + copy write +
+    kernel read) on the 8B decode step vs ~660 GB/s through this path."""
+    ik = pl.program_id(2)
+
+    @pl.when(ik == 0)
+    def _():
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    acc_scr[...] += jax.lax.dot_general(
+        x_ref[...],
+        w_ref[0].astype(x_ref.dtype),
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(ik == nk - 1)
+    def _():
+        o_ref[...] = (acc_scr[...] * s_ref[0]).astype(o_ref.dtype)
+
+
 def quantized_matmul(
     x: jax.Array,  # (..., d_in) bf16/f32 activations
-    w_q: jax.Array,  # (d_in, d_out) int8 / fp8
-    scale: jax.Array,  # (d_out,) f32
+    w_q: jax.Array,  # (d_in, d_out) int8/fp8 — or (L, d_in, d_out) stacked
+    scale: jax.Array,  # (d_out,) f32 — or (L, d_out) stacked
     *,
+    layer_idx: Optional[jax.Array] = None,  # () int32: selects the stack layer
     # 1024^2 weight tiles measured best on v5e at BOTH decode (m=64:
     # 662 vs 443 GB/s with 512^2) and prefill shapes (m=512: 171 vs 138
     # TF/s) — bigger DMAs amortize per-grid-step overhead
@@ -80,9 +107,22 @@ def quantized_matmul(
     block_k: int = 1024,
     interpret: Optional[bool] = None,
 ) -> jax.Array:
-    """y = x @ (w_q * scale) with dequant fused into the matmul tiles."""
+    """y = x @ (w_q * scale) with dequant fused into the matmul tiles.
+
+    With ``layer_idx``, w_q/scale carry a leading layer axis and the kernel
+    reads tiles of layer ``layer_idx`` straight from the stacked array — the
+    way to consume per-layer weights inside a lax.scan without XLA
+    materializing a per-layer copy at the pallas_call boundary (the
+    dynamic-slice cannot fuse into a kernel operand; see _qmm_stacked_kernel).
+    """
     if interpret is None:
         interpret = default_interpret()
+    if layer_idx is not None:
+        return _quantized_matmul_stacked(
+            x, w_q, scale, layer_idx,
+            block_m=block_m, block_n=block_n, block_k=block_k,
+            interpret=interpret,
+        )
     orig_shape = x.shape
     d_in, d_out = w_q.shape
     x2 = x.reshape(-1, d_in)
@@ -121,6 +161,72 @@ def quantized_matmul(
         interpret=interpret,
     )(x2, wp, sp)
     return out[:m, :d_out].reshape(*orig_shape[:-1], d_out)
+
+
+def _quantized_matmul_stacked(
+    x: jax.Array,  # (..., d_in)
+    w_q: jax.Array,  # (L, d_in, d_out)
+    scale: jax.Array,  # (L, d_out)
+    layer_idx: jax.Array,  # () int32
+    *,
+    block_m: int,
+    block_n: int,
+    block_k: int,
+    interpret: bool,
+) -> jax.Array:
+    orig_shape = x.shape
+    L, d_in, d_out = w_q.shape
+    if d_in % 128 or d_out % 128:
+        # stacked tiles need 128-aligned dims (padding a stacked weight per
+        # call would defeat the zero-copy point); unaligned (test-sized)
+        # geometries take the slice path and pay the copy
+        return quantized_matmul(
+            x, jax.lax.dynamic_index_in_dim(w_q, layer_idx, 0, keepdims=False),
+            jax.lax.dynamic_index_in_dim(scale, layer_idx, 0, keepdims=False),
+            block_m=block_m, block_n=block_n, block_k=block_k,
+            interpret=interpret,
+        )
+    x2 = x.reshape(-1, d_in)
+    m = x2.shape[0]
+
+    def divisor_block(dim, target):
+        # largest multiple of 128 <= target that divides dim (dim is
+        # 128-aligned here, so 128 itself always terminates the loop)
+        b = min(target, dim)
+        while dim % b:
+            b -= 128
+        return b
+
+    bm = min(block_m, max(next_multiple(m, 8), 8))
+    bn = divisor_block(d_out, block_n)
+    bk = divisor_block(d_in, block_k)
+    m_pad = next_multiple(m, bm)
+    if m_pad != m:
+        x2 = jnp.pad(x2, ((0, m_pad - m), (0, 0)))
+    sp = scale.astype(jnp.float32).reshape(L, 1, d_out)
+
+    nk = d_in // bk
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(m_pad // bm, d_out // bn, nk),
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda im, jn, ik, l: (im, ik)),
+            pl.BlockSpec((1, bk, bn), lambda im, jn, ik, l: (l[0], ik, jn)),
+            pl.BlockSpec((1, 1, bn), lambda im, jn, ik, l: (l[0], 0, jn)),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda im, jn, ik, l: (im, jn)),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+    )
+    out = pl.pallas_call(
+        functools.partial(_qmm_stacked_kernel, nk),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((m_pad, d_out), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(jnp.asarray(layer_idx, jnp.int32).reshape(1), x2, w_q, sp)
+    return out[:m].reshape(*orig_shape[:-1], d_out)
 
 
 @jax.tree_util.register_pytree_node_class

@@ -96,6 +96,12 @@ def sample_tokens(
     return jnp.where(t > 0.0, sampled, greedy)
 
 
+from xf_flash_attention_cutlass_tpu.models.llama import (  # noqa: E402
+    layer_view as _layer_view,
+    split_layer_params as _split_layer_params,
+)
+
+
 def _attn_qkv(layer, x, cfg: LlamaConfig, cos, sin, positions):
     """norm -> qkv proj -> rotary; shared by prefill and decode."""
     b, s, _ = x.shape
@@ -136,8 +142,11 @@ def decode_core(
     # Pools ride the scan CARRY, updated by layer-indexed scatters, and the
     # paged kernel selects the layer via layer_idx — as scan xs/ys the
     # whole-stack pools would be copied every step (measured 15x slowdown).
+    layers_xs, layers_stacked = _split_layer_params(params["layers"])
+
     def body(carry, xs):
-        layer, l = xs
+        layer_xs, l = xs
+        layer = _layer_view(layer_xs, layers_stacked, l)
         if quant:
             x, kp, vp, ks, vs = carry
         else:
@@ -180,7 +189,7 @@ def decode_core(
         else (x, pools["k"], pools["v"])
     )
     carry, _ = jax.lax.scan(
-        body, carry0, (params["layers"], jnp.arange(L, dtype=jnp.int32))
+        body, carry0, (layers_xs, jnp.arange(L, dtype=jnp.int32))
     )
     x = carry[0]
     x = rms_norm(x, params["final_norm"], cfg.rms_eps)
@@ -239,8 +248,11 @@ def prefill_core(
     kv_lens = true_len[None] if true_len.ndim == 0 else true_len
     zero = jnp.zeros((1,), jnp.int32)
 
+    layers_xs, layers_stacked = _split_layer_params(params["layers"])
+
     def body(carry, xs):
-        layer, l = xs
+        layer_xs, l = xs
+        layer = _layer_view(layer_xs, layers_stacked, l)
         if quant:
             x, kp, vp, ks, vs = carry
         else:
@@ -272,7 +284,7 @@ def prefill_core(
         else (x, pools["k"], pools["v"])
     )
     carry, _ = jax.lax.scan(
-        body, carry0, (params["layers"], jnp.arange(L, dtype=jnp.int32))
+        body, carry0, (layers_xs, jnp.arange(L, dtype=jnp.int32))
     )
     x = carry[0]
     x = rms_norm(x, params["final_norm"], cfg.rms_eps)
