@@ -103,6 +103,34 @@ def test_engine_matches_naive_greedy(page_size):
     assert list(out[0]) == _naive_greedy(params, cfg, prompt, n_new)
 
 
+def test_engine_serves_moe_family_token_exact():
+    """The engine's paged decode must reproduce naive MoE recompute greedy
+    decoding token-for-token (capacity_factor high enough that no token
+    drops, so decode-time and prefill-time dispatches agree exactly)."""
+    from xf_flash_attention_cutlass_tpu.models.moe import (
+        MoEConfig, init_moe_params, moe_forward,
+    )
+
+    cfg = MoEConfig(
+        vocab_size=97, dim=64, n_layers=2, n_heads=4, n_kv_heads=2,
+        ffn_dim=128, max_seq_len=512, n_experts=4, top_k=2,
+        capacity_factor=8.0,
+    )
+    params = init_moe_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    ecfg = EngineConfig(max_batch=2, page_size=16, num_pages=32, max_seq=256)
+    eng = DecodeEngine(params, cfg, ecfg, dtype=jnp.float32)
+    prompt = [3, 17, 42, 9, 55, 21, 60]
+    n_new = 5
+    eng.add_request(0, prompt, n_new)
+    out = eng.run()
+
+    toks = list(prompt)
+    for _ in range(n_new):
+        logits, _ = moe_forward(params, jnp.asarray([toks], jnp.int32), cfg)
+        toks.append(int(jnp.argmax(logits[0, -1])))
+    assert list(out[0]) == toks[len(prompt):]
+
+
 def test_engine_continuous_batching():
     cfg, params = _tiny()
     ecfg = EngineConfig(max_batch=2, page_size=16, num_pages=64, max_seq=256)

@@ -157,6 +157,9 @@ def quantized_matmul(
         scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
+            # default scoped-vmem is 16MB; non-default tile choices (e.g.
+            # bk=2048 at bn>=1024 int8) exceed it with double-buffering
+            vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,
     )(x2, wp, sp)
@@ -223,6 +226,9 @@ def _quantized_matmul_stacked(
         out_shape=jax.ShapeDtypeStruct((m_pad, d_out), x.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
+            # default scoped-vmem is 16MB; non-default tile choices (e.g.
+            # bk=2048 at bn>=1024 int8) exceed it with double-buffering
+            vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,
     )(jnp.asarray(layer_idx, jnp.int32).reshape(1), x2, w_q, sp)

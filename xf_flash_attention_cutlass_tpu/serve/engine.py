@@ -102,6 +102,18 @@ from xf_flash_attention_cutlass_tpu.models.llama import (  # noqa: E402
 )
 
 
+def _mlp(layer, x, cfg, axis_name=None):
+    """Dense SwiGLU or sparse MoE MLP, keyed off the layer params: MoE
+    layers carry a router (models/moe.py). The engine thus serves both
+    model families through the same prefill/decode steps."""
+    if "router" in layer:
+        from xf_flash_attention_cutlass_tpu.models.moe import moe_mlp_block
+
+        out, _ = moe_mlp_block(layer, x, cfg)
+        return out
+    return mlp_block(layer, x, cfg, axis_name=axis_name)
+
+
 def _attn_qkv(layer, x, cfg: LlamaConfig, cos, sin, positions):
     """norm -> qkv proj -> rotary; shared by prefill and decode."""
     b, s, _ = x.shape
@@ -179,7 +191,7 @@ def decode_core(
         if axis_name is not None:
             partial = jax.lax.psum(partial, axis_name)
         x = x + partial
-        x = mlp_block(layer, x, cfg, axis_name=axis_name)
+        x = _mlp(layer, x, cfg, axis_name=axis_name)
         carry = (x, kp, vp, ks, vs) if quant else (x, kp, vp)
         return carry, None
 
@@ -274,7 +286,7 @@ def prefill_core(
                 layer_idx=l, interpret=interpret,
             )
         x = x + _proj(o, layer["wo"])
-        x = mlp_block(layer, x, cfg)
+        x = _mlp(layer, x, cfg)
         carry = (x, kp, vp, ks, vs) if quant else (x, kp, vp)
         return carry, None
 
