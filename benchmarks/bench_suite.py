@@ -110,10 +110,7 @@ def bench_qmm(m=512, k=4096, n=4096):
     print(rep.line(f"int8_qmm {m}x{k}x{n}"))
 
 
-def bench_engine_decode(quant=None, n_layers=2, quant_weights=False):
-    """Full decode step (projections + paged attention) on an 8B-class
-    layer geometry, n_layers deep; per-layer time extrapolates the stack.
-    quant_weights additionally stores projections int8 (fused-dequant qmm)."""
+def _engine_decode_step_seconds(quant, n_layers, quant_weights):
     from xf_flash_attention_cutlass_tpu.models.llama import (
         LlamaConfig, init_params, quantize_params,
     )
@@ -147,12 +144,26 @@ def bench_engine_decode(quant=None, n_layers=2, quant_weights=False):
         nt, _, pools = decode_core(params, t, pools, bt, kv_lens, cfg, quant)
         return (nt[:, None].astype(jnp.int32), pools)
 
-    t = timed_scan(step, (tokens, pools), params, bt, kv_lens, lengths=(2, 12))
-    toks = B / (t / n_layers * 32)  # extrapolated to 32 layers
+    return timed_scan(step, (tokens, pools), params, bt, kv_lens)
+
+
+def bench_engine_decode(quant=None, quant_weights=False):
+    """Full decode step (projections + paged attention) on an 8B-class
+    layer geometry. The per-layer cost is the slope between a 2-layer and a
+    4-layer slice, so fixed per-step costs (embed/lm_head/sampling/dispatch)
+    are charged once, not 16x, in the 32-layer extrapolation.
+    quant_weights additionally stores projections int8 (fused-dequant qmm)."""
+    B = 64
+    t2 = _engine_decode_step_seconds(quant, 2, quant_weights)
+    t4 = _engine_decode_step_seconds(quant, 4, quant_weights)
+    per_layer = (t4 - t2) / 2
+    fixed = max(t2 - 2 * per_layer, 0.0)
+    toks = B / (fixed + 32 * per_layer)
     wtag = "+w8" if quant_weights else ""
     print(
-        f"engine_decode kv={quant or 'bf16'}{wtag}: {t*1e6:.0f}us/{n_layers}-layer step"
-        f" -> {toks:.0f} tok/s extrapolated 8B (64 reqs @1.5k ctx)"
+        f"engine_decode kv={quant or 'bf16'}{wtag}: {per_layer*1e6:.0f}us/layer"
+        f" + {fixed*1e6:.0f}us fixed -> {toks:.0f} tok/s extrapolated 8B"
+        f" (64 reqs @1.5k ctx)"
     )
 
 

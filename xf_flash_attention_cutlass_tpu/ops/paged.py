@@ -145,8 +145,11 @@ def _paged_kernel(params: PagedParams, *refs):
     lo2, hi2, n_pages2 = burst_range(ib2, isplit2)
 
     def dma(ib_, lo_, hi_, slot, i):
-        """Async copies for burst i: pb logical pages -> one VMEM window."""
-        copies = []
+        """Async copies for burst i: pb logical pages -> one VMEM window.
+        Returns (k_side, v_side): K (+k-scales) copies are issued first and
+        waited before the QK^T dot; V (+v-scales) copies are only waited
+        after the softmax, so the V stream overlaps the score compute."""
+        k_side, v_side = [], []
         for j in range(pb):
             # tail pages past the live range re-fetch the last live page
             # (cheap; their columns are masked out)
@@ -159,10 +162,10 @@ def _paged_kernel(params: PagedParams, *refs):
                 ksrc = k_hbm.at[pe]
                 vsrc = v_hbm.at[pe]
             sl = slice(j * page, (j + 1) * page)
-            copies.append(
+            k_side.append(
                 pltpu.make_async_copy(ksrc, k_buf.at[slot, :, sl], sems.at[slot, 0])
             )
-            copies.append(
+            v_side.append(
                 pltpu.make_async_copy(vsrc, v_buf.at[slot, :, sl], sems.at[slot, 1])
             )
             if params.kv_quant:
@@ -172,17 +175,21 @@ def _paged_kernel(params: PagedParams, *refs):
                 else:
                     kssrc = ks_hbm.at[pe]
                     vssrc = vs_hbm.at[pe]
-                copies.append(
+                k_side.append(
                     pltpu.make_async_copy(
                         kssrc, ks_buf.at[slot, :, sl], sems.at[slot, 2]
                     )
                 )
-                copies.append(
+                v_side.append(
                     pltpu.make_async_copy(
                         vssrc, vs_buf.at[slot, :, sl], sems.at[slot, 3]
                     )
                 )
-        return copies
+        return k_side, v_side
+
+    def dma_all(ib_, lo_, hi_, slot, i):
+        k_side, v_side = dma(ib_, lo_, hi_, slot, i)
+        return k_side + v_side
 
     is_first = jnp.logical_and(ib == 0, isplit == 0)
 
@@ -195,7 +202,7 @@ def _paged_kernel(params: PagedParams, *refs):
     @pl.when(jnp.logical_and(is_first, n_pages > 0))
     def _self_issue():
         # only the very first grid step has no predecessor to prefetch it
-        for c in dma(ib, lo, hi, 0, 0):
+        for c in dma_all(ib, lo, hi, 0, 0):
             c.start()
 
     def handoff():
@@ -203,7 +210,7 @@ def _paged_kernel(params: PagedParams, *refs):
         # of this step's compute (kills the per-step pipeline bubble)
         @pl.when(jnp.logical_and(has_next, n_pages2 > 0))
         def _():
-            for c in dma(ib2, lo2, hi2, (s0 + n_bursts) % 2, 0):
+            for c in dma_all(ib2, lo2, hi2, (s0 + n_bursts) % 2, 0):
                 c.start()
 
     @pl.when(n_pages == 0)
@@ -242,14 +249,15 @@ def _paged_kernel(params: PagedParams, *refs):
 
             @pl.when(i + 1 < n_bursts)
             def _prefetch():
-                for c in dma(ib, lo, hi, (s0 + i + 1) % 2, i + 1):
+                for c in dma_all(ib, lo, hi, (s0 + i + 1) % 2, i + 1):
                     c.start()
 
             @pl.when(i + 1 == n_bursts)
             def _handoff():
                 handoff()
 
-            for c in dma(ib, lo, hi, slot, i):
+            k_side, v_side = dma(ib, lo, hi, slot, i)
+            for c in k_side:
                 c.wait()
 
             kv_start = (lo + i * pb) * page
@@ -261,7 +269,6 @@ def _paged_kernel(params: PagedParams, *refs):
             # score plane: (q · k_q^T)[r,c] * ks[c] == q · (k_q*ks)^T[r,c]
             # at cols*rows scale-muls instead of cols*d dequant muls.
             k = k_buf[slot]
-            v = v_buf[slot]
 
             # batched over kv heads: (h_k, rows, d) x (h_k, page, d);
             # q arrives pre-multiplied by softmax_scale (wrapper) so no
@@ -314,6 +321,11 @@ def _paged_kernel(params: PagedParams, *refs):
             l_scr[...] = l_scr[...] * corr + jnp.sum(
                 p, axis=2, keepdims=True, dtype=jnp.float32
             )
+            # V (+v-scales) only becomes a dependency here: its DMA streamed
+            # behind K during the score/softmax work above
+            for c in v_side:
+                c.wait()
+            v = v_buf[slot]
             if params.kv_quant:
                 # v's per-token scale rides on p (cols axis), not on v
                 p = p * vs_buf[slot][:, None, :].astype(p.dtype)
