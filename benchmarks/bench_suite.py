@@ -112,7 +112,7 @@ def bench_qmm(m=512, k=4096, n=4096):
 
 def _engine_decode_step_seconds(quant, n_layers, quant_weights):
     from xf_flash_attention_cutlass_tpu.models.llama import (
-        LlamaConfig, init_params, quantize_params,
+        LlamaConfig, init_params, pack_params_for_decode, quantize_params,
     )
     from xf_flash_attention_cutlass_tpu.serve.engine import decode_core
 
@@ -123,6 +123,7 @@ def _engine_decode_step_seconds(quant, n_layers, quant_weights):
     params = init_params(jax.random.PRNGKey(0), cfg)
     if quant_weights:
         params = quantize_params(params)
+    params = pack_params_for_decode(params)  # the engine's decode layout
     B, page, mp = 64, 256, 8
     num_pages = B * mp + 1
     shape = (n_layers, num_pages, cfg.n_kv_heads, page, cfg.head_dim)

@@ -296,6 +296,25 @@ def loss_fn(params, tokens, cfg: LlamaConfig) -> jax.Array:
     return jnp.mean(nll)
 
 
+def pack_params_for_decode(params: Dict[str, Any]) -> Dict[str, Any]:
+    """Wrap full-precision stacked projection weights as (w, None) tuples so
+    the engine's decode scan consumes them through the zero-copy stacked
+    matmul (quant/linear._qmm_stacked_kernel) instead of an XLA dot over a
+    scan-xs slice — measured 1284 -> 1141 us/layer on the 8B bf16 decode
+    step. No data is copied (the tuple wraps the same arrays); quantized
+    (w_q, scale) tuples already take the stacked path and pass through."""
+    out = dict(params)
+    layers = dict(params["layers"])
+    for name in ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down"):
+        w = layers.get(name)
+        # only (L, d_in, d_out) per-layer matrices; MoE expert stacks are
+        # 4-D and consumed by expert_ffn directly, not _proj
+        if w is not None and not isinstance(w, tuple) and w.ndim == 3:
+            layers[name] = (w, None)
+    out["layers"] = layers
+    return out
+
+
 def quantize_params(params: Dict[str, Any], quant_dtype=jnp.int8) -> Dict[str, Any]:
     """INT8 weight-only quantization of all projection matrices (QKV/O and
     MLP); norms/embeddings stay full precision. Projections become

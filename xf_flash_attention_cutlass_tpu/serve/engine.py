@@ -337,6 +337,14 @@ class DecodeEngine:
         interpret: Optional[bool] = None,
     ):
         self.params = params
+        # decode consumes per-layer weights through the zero-copy stacked
+        # matmul (same buffers, no duplication); prefill keeps the plain
+        # layout where XLA's fused slice+dot is already MXU-bound
+        from xf_flash_attention_cutlass_tpu.models.llama import (
+            pack_params_for_decode,
+        )
+
+        self._decode_params = pack_params_for_decode(params)
         self.cfg = cfg
         self.ecfg = ecfg
         self.interpret = interpret
@@ -476,7 +484,7 @@ class DecodeEngine:
                 top_p=self.ecfg.top_p,
             )
         next_tokens, _, self.pools = decode_step(
-            self.params,
+            self._decode_params,
             jnp.asarray(tokens),
             self.pools,
             jnp.asarray(bt),
