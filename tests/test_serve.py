@@ -103,6 +103,29 @@ def test_engine_matches_naive_greedy(page_size):
     assert list(out[0]) == _naive_greedy(params, cfg, prompt, n_new)
 
 
+@pytest.mark.parametrize("chunk", [32, 64])
+def test_engine_chunked_prefill_token_exact(chunk):
+    """Chunked prefill (paged-kernel chunks interleaved with decode) must
+    reproduce naive greedy decoding token-for-token, including a prompt
+    longer than one chunk and a second request admitted mid-stream."""
+    cfg, params = _tiny()
+    ecfg = EngineConfig(
+        max_batch=2, page_size=16, num_pages=64, max_seq=256,
+        prefill_chunk=chunk,
+    )
+    eng = DecodeEngine(params, cfg, ecfg, dtype=jnp.float32)
+    prompts = {
+        0: [(7 * i + 3) % cfg.vocab_size for i in range(chunk + 11)],
+        1: [5, 9, 2],
+    }
+    n_new = {0: 4, 1: 5}
+    for rid, p in prompts.items():
+        eng.add_request(rid, p, n_new[rid])
+    out = eng.run()
+    for rid, p in prompts.items():
+        assert list(out[rid]) == _naive_greedy(params, cfg, p, n_new[rid]), rid
+
+
 def test_engine_serves_moe_family_token_exact():
     """The engine's paged decode must reproduce naive MoE recompute greedy
     decoding token-for-token (capacity_factor high enough that no token

@@ -47,6 +47,11 @@ class EngineConfig:
     max_seq: int = 4096
     kv_quant: Optional[str] = None  # None | "int8" | "fp8_e4m3"
     eos_token: int = -1  # -1: never stop on a token
+    # chunked prefill: process prompts in fixed-size chunks through the
+    # paged kernel, one chunk per engine step, interleaved with decode —
+    # ONE compiled prefill shape for every prompt length and bounded
+    # per-step latency. None keeps whole-prompt bucketed prefill.
+    prefill_chunk: Optional[int] = None
     # sampling: per-request temperature rides add_request(); these truncation
     # knobs are engine-wide (static shapes under jit). 0 disables either.
     top_k: int = 0
@@ -325,6 +330,104 @@ def prefill_step(
     )
 
 
+def prefill_chunk_core(
+    params,
+    tokens,  # (1, C) int32 — one fixed-size chunk of the prompt
+    n_prior,  # () int32: tokens already in the cache for this sequence
+    n_valid,  # () int32: valid tokens in this chunk (last chunk may be short)
+    pools,
+    bt_row,  # (1, max_pages) int32: full block table incl. trash tail
+    cfg: LlamaConfig,
+    quant: Optional[str] = None,
+    interpret: Optional[bool] = None,
+):
+    """One chunk of incremental prefill: append the chunk's KV into pages,
+    then paged attention of the chunk queries over cache[0 : n_prior + C]
+    (causal within the chunk via the kernel's trailing-query geometry).
+
+    Every chunk compiles to ONE executable shape regardless of prompt
+    length, and the engine interleaves chunks with decode steps so a long
+    prompt never monopolizes the chip (vLLM-style chunked prefill).
+    Padded tail positions write garbage KV past n_valid; they are either
+    beyond the allocated pages (trash page) or overwritten by the very next
+    append at that position before anything attends to them.
+    Returns (logits_of_last_valid_token, pools)."""
+    C = tokens.shape[1]
+    L = pools["k"].shape[0]
+    x = params["embed"][jnp.clip(tokens, 0, cfg.vocab_size - 1)]
+    positions = (n_prior + jnp.arange(C, dtype=jnp.int32))[None]  # (1, C)
+    cos, sin = rotary_frequencies(cfg.head_dim, cfg.max_seq_len, cfg.rope_base)
+    kv_lens = (n_prior + C)[None] if jnp.ndim(n_prior) == 0 else n_prior + C
+    append_pos = jnp.reshape(n_prior, (1,))
+
+    layers_xs, layers_stacked = _split_layer_params(params["layers"])
+
+    def body(carry, xs):
+        layer_xs, l = xs
+        layer = _layer_view(layer_xs, layers_stacked, l)
+        if quant:
+            x, kp, vp, ks, vs = carry
+        else:
+            x, kp, vp = carry
+        q, k_new, v_new = _attn_qkv(layer, x, cfg, cos, sin, positions)
+        if quant:
+            kp, vp, ks, vs = paged_append(
+                kp, vp, k_new, v_new, bt_row, append_pos,
+                k_scales=ks, v_scales=vs, layer_idx=l, interpret=interpret,
+            )
+            o, _ = paged_attention(
+                q, kp, vp, bt_row, kv_lens, causal=True,
+                k_scales=ks, v_scales=vs, layer_idx=l, interpret=interpret,
+            )
+        else:
+            kp, vp = paged_append(
+                kp, vp, k_new, v_new, bt_row, append_pos,
+                layer_idx=l, interpret=interpret,
+            )
+            o, _ = paged_attention(
+                q, kp, vp, bt_row, kv_lens, causal=True,
+                layer_idx=l, interpret=interpret,
+            )
+        o = o.reshape(1, C, cfg.n_heads * cfg.head_dim)
+        x = x + _proj(o, layer["wo"])
+        x = _mlp(layer, x, cfg)
+        carry = (x, kp, vp, ks, vs) if quant else (x, kp, vp)
+        return carry, None
+
+    carry0 = (
+        (x, pools["k"], pools["v"], pools["k_s"], pools["v_s"])
+        if quant
+        else (x, pools["k"], pools["v"])
+    )
+    carry, _ = jax.lax.scan(
+        body, carry0, (layers_xs, jnp.arange(L, dtype=jnp.int32))
+    )
+    x = carry[0]
+    x = rms_norm(x, params["final_norm"], cfg.rms_eps)
+    last = x[0, jnp.maximum(n_valid - 1, 0)]
+    logits = _proj(last[None], params["lm_head"]).astype(jnp.float32)[0]
+    if quant:
+        pools = dict(k=carry[1], v=carry[2], k_s=carry[3], v_s=carry[4])
+    else:
+        pools = dict(k=carry[1], v=carry[2])
+    return logits, pools
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "quant", "interpret"),
+    donate_argnames=("pools",),
+)
+def prefill_chunk_step(
+    params, tokens, n_prior, n_valid, pools, bt_row,
+    cfg: LlamaConfig, quant: Optional[str] = None,
+    interpret: Optional[bool] = None,
+):
+    return prefill_chunk_core(
+        params, tokens, n_prior, n_valid, pools, bt_row, cfg, quant, interpret
+    )
+
+
 class DecodeEngine:
     """Continuous batching: admit, prefill, batched decode, retire."""
 
@@ -368,6 +471,9 @@ class DecodeEngine:
         self.results: Dict[int, List[int]] = {}
         self._sample_base = jax.random.PRNGKey(ecfg.sample_seed)
         self._step_count = 0
+        # in-flight chunked prefill (one request at a time; one chunk per
+        # engine step, interleaved with decode)
+        self._prefill: Optional[dict] = None
 
     def add_request(
         self,
@@ -387,6 +493,65 @@ class DecodeEngine:
         while b < n:
             b *= 2
         return min(b, self.ecfg.max_seq)
+
+    def _start_chunked_prefill(self) -> bool:
+        rid, prompt, max_new, temp = self.queue[0]
+        slot = self.pool.admit(rid, len(prompt), len(prompt) + max_new)
+        if slot < 0:
+            return False
+        self.queue.popleft()
+        self._prefill = dict(
+            slot=slot, id=rid, prompt=prompt, max_new=max_new,
+            temperature=temp, pos=0,
+        )
+        return True
+
+    def _advance_chunked_prefill(self):
+        """Run ONE chunk of the in-flight prefill; activate when done."""
+        st = self._prefill
+        C = self.ecfg.prefill_chunk
+        prompt, pos = st["prompt"], st["pos"]
+        chunk = prompt[pos : pos + C]
+        n_valid = len(chunk)
+        tokens = np.zeros((1, C), np.int32)
+        tokens[0, :n_valid] = chunk
+        bt, _, _ = self.pool.build_block_tables(self.ecfg.max_pages_per_seq)
+        n_pages = cdiv(len(prompt), self.ecfg.page_size)
+        bt_row = np.full((1, self.ecfg.max_pages_per_seq), self.trash_page, np.int32)
+        bt_row[0, :n_pages] = bt[st["slot"], :n_pages]
+        logits, self.pools = prefill_chunk_step(
+            self._decode_params,
+            jnp.asarray(tokens),
+            jnp.asarray(pos, jnp.int32),
+            jnp.asarray(n_valid, jnp.int32),
+            self.pools,
+            jnp.asarray(bt_row),
+            self.cfg,
+            self.ecfg.kv_quant,
+            self.interpret,
+        )
+        st["pos"] = pos + n_valid
+        if st["pos"] < len(prompt):
+            return
+        first = jnp.argmax(logits).astype(jnp.int32)
+        if st["temperature"] > 0.0:
+            key = jax.random.fold_in(self._sample_base, (st["id"] << 8) ^ 0xA5)
+            first = sample_tokens(
+                logits[None],
+                jnp.asarray([st["temperature"]], jnp.float32),
+                key,
+                top_k=self.ecfg.top_k,
+                top_p=self.ecfg.top_p,
+            )[0]
+        self.active[st["slot"]] = dict(
+            id=st["id"],
+            prompt=st["prompt"],
+            last_token=int(first),
+            generated=[int(first)],
+            max_new=st["max_new"],
+            temperature=st["temperature"],
+        )
+        self._prefill = None
 
     def _admit_one(self) -> bool:
         rid, prompt, max_new, temp = self.queue[0]
@@ -432,10 +597,24 @@ class DecodeEngine:
         return True
 
     def step(self) -> Dict[int, List[int]]:
-        """Admit + one batched decode step. Returns tokens emitted."""
-        while self.queue and len(self.active) < self.ecfg.max_batch:
-            if not self._admit_one():
-                break
+        """Admit + one batched decode step. Returns tokens emitted.
+
+        With ecfg.prefill_chunk set, at most ONE prefill chunk runs per
+        step before the decode batch (chunked prefill interleaving);
+        otherwise whole prompts are prefilled at admission."""
+        if self.ecfg.prefill_chunk:
+            if (
+                self._prefill is None
+                and self.queue
+                and len(self.active) < self.ecfg.max_batch
+            ):
+                self._start_chunked_prefill()
+            if self._prefill is not None:
+                self._advance_chunked_prefill()
+        else:
+            while self.queue and len(self.active) < self.ecfg.max_batch:
+                if not self._admit_one():
+                    break
         emitted: Dict[int, List[int]] = {}
         # retire finished before decoding
         for slot in list(self.active):
@@ -504,7 +683,7 @@ class DecodeEngine:
 
     def run(self, max_steps: int = 10_000) -> Dict[int, List[int]]:
         steps = 0
-        while (self.queue or self.active) and steps < max_steps:
+        while (self.queue or self.active or self._prefill) and steps < max_steps:
             self.step()
             steps += 1
         return self.results
