@@ -21,9 +21,13 @@ namespace {
 
 struct Request {
   int32_t id = -1;
-  int32_t seq_len = 0;       // tokens currently in cache
+  int32_t seq_len = 0;       // tokens currently in cache (incl. shared prefix)
   int32_t target_len = 0;    // generation stops at this length (bookkeeping)
-  std::vector<int32_t> pages;  // physical page ids, in logical order
+  // logical pages [0, shared_pages) belong to a shared prefix (allocated via
+  // xfa_prefix_alloc, filled into the block table by the engine) and are
+  // neither owned nor freed by this request
+  int32_t shared_pages = 0;
+  std::vector<int32_t> pages;  // OWN physical page ids, logical order
   bool active = false;
 };
 
@@ -89,6 +93,7 @@ int32_t xfa_request_admit(void* h, int32_t request_id, int32_t prompt_len,
   r.id = request_id;
   r.seq_len = prompt_len;
   r.target_len = target_len;
+  r.shared_pages = 0;
   r.active = true;
   r.pages.clear();
   for (int32_t i = 0; i < need; ++i) {
@@ -99,6 +104,74 @@ int32_t xfa_request_admit(void* h, int32_t request_id, int32_t prompt_len,
   return slot;
 }
 
+// Admit a request whose first `shared_pages` logical pages are a shared
+// prefix (prefix-cached system prompt): only pages past the shared region
+// are allocated. `prompt_len` counts ALL tokens incl. the shared prefix and
+// must cover it (prompt_len >= shared_pages * page_size). The engine writes
+// the prefix's physical page ids into the block-table row's first
+// `shared_pages` entries after xfa_build_block_tables.
+int32_t xfa_request_admit_prefixed(void* h, int32_t request_id,
+                                   int32_t shared_pages, int32_t prompt_len,
+                                   int32_t target_len) {
+  Pool* p = static_cast<Pool*>(h);
+  if (shared_pages < 0 ||
+      prompt_len < shared_pages * p->page_size)
+    return -1;
+  int32_t slot = -1;
+  for (int32_t i = 0; i < p->max_requests; ++i) {
+    if (!p->requests[i].active) { slot = i; break; }
+  }
+  if (slot < 0) return -1;
+  int32_t need = pages_needed(*p, prompt_len) - shared_pages;
+  if (need < 0) need = 0;
+  if (static_cast<int32_t>(p->free_list.size()) < need) return -1;
+  Request& r = p->requests[slot];
+  r.id = request_id;
+  r.seq_len = prompt_len;
+  r.target_len = target_len;
+  r.shared_pages = shared_pages;
+  r.active = true;
+  r.pages.clear();
+  for (int32_t i = 0; i < need; ++i) {
+    r.pages.push_back(p->free_list.back());
+    p->free_list.pop_back();
+    p->alloc_count++;
+  }
+  return slot;
+}
+
+// Reserve `n_pages` pages for a shared prefix, written to `out`. The pages
+// are owned by the caller (engine) until xfa_prefix_free. Returns 0, or -1
+// if the pool cannot supply them.
+int32_t xfa_prefix_alloc(void* h, int32_t n_pages, int32_t* out) {
+  Pool* p = static_cast<Pool*>(h);
+  if (n_pages < 0 ||
+      static_cast<int32_t>(p->free_list.size()) < n_pages)
+    return -1;
+  for (int32_t i = 0; i < n_pages; ++i) {
+    out[i] = p->free_list.back();
+    p->free_list.pop_back();
+    p->alloc_count++;
+  }
+  return 0;
+}
+
+// Return prefix pages to the pool (caller guarantees no live request still
+// references them).
+void xfa_prefix_free(void* h, const int32_t* pages, int32_t n_pages) {
+  Pool* p = static_cast<Pool*>(h);
+  for (int32_t i = 0; i < n_pages; ++i) {
+    p->free_list.push_back(pages[i]);
+    p->free_count++;
+  }
+}
+
+int32_t xfa_request_shared_pages(void* h, int32_t slot) {
+  Pool* p = static_cast<Pool*>(h);
+  if (slot < 0 || slot >= p->max_requests) return -1;
+  return p->requests[slot].active ? p->requests[slot].shared_pages : -1;
+}
+
 // Grow `slot` by `n_tokens` (decode step / appended chunk), allocating
 // pages as the sequence crosses page boundaries. Returns the new seq_len,
 // or -1 on OOM (caller should preempt / retry after retirement).
@@ -107,7 +180,7 @@ int32_t xfa_request_extend(void* h, int32_t slot, int32_t n_tokens) {
   if (slot < 0 || slot >= p->max_requests) return -1;
   Request& r = p->requests[slot];
   if (!r.active) return -1;
-  int32_t need = pages_needed(*p, r.seq_len + n_tokens) -
+  int32_t need = pages_needed(*p, r.seq_len + n_tokens) - r.shared_pages -
                  static_cast<int32_t>(r.pages.size());
   if (need > static_cast<int32_t>(p->free_list.size())) return -1;
   for (int32_t i = 0; i < need; ++i) {
@@ -133,6 +206,7 @@ void xfa_request_retire(void* h, int32_t slot) {
   r.active = false;
   r.id = -1;
   r.seq_len = 0;
+  r.shared_pages = 0;
 }
 
 int32_t xfa_request_seq_len(void* h, int32_t slot) {
@@ -160,9 +234,12 @@ int32_t xfa_build_block_tables(void* h, int32_t* block_tables,
     int32_t* row = block_tables + static_cast<int64_t>(s) * max_pages;
     std::memset(row, 0, sizeof(int32_t) * max_pages);
     if (r.active) {
+      // own pages land after the shared-prefix region; the engine fills
+      // rows [0, shared_pages) with the prefix's physical pages
+      int32_t off = r.shared_pages < max_pages ? r.shared_pages : max_pages;
       int32_t n = static_cast<int32_t>(r.pages.size());
-      if (n > max_pages) n = max_pages;
-      std::memcpy(row, r.pages.data(), sizeof(int32_t) * n);
+      if (n > max_pages - off) n = max_pages - off;
+      if (n > 0) std::memcpy(row + off, r.pages.data(), sizeof(int32_t) * n);
       seq_lens[s] = r.seq_len;
       active++;
     } else {
@@ -180,13 +257,14 @@ int64_t xfa_pool_alloc_count(void* h) {
 //
 // Serialized layout (int32 words):
 //   [num_pages, page_size, max_requests, n_free, free_list...,
-//    per slot: active, id, seq_len, target_len, n_pages, pages...]
+//    per slot: active, id, seq_len, target_len, shared_pages, n_pages,
+//    pages...]
 
 int32_t xfa_pool_snapshot_size(void* h) {
   Pool* p = static_cast<Pool*>(h);
   int32_t words = 4 + static_cast<int32_t>(p->free_list.size());
   for (const Request& r : p->requests)
-    words += 5 + static_cast<int32_t>(r.pages.size());
+    words += 6 + static_cast<int32_t>(r.pages.size());
   return words;
 }
 
@@ -206,6 +284,7 @@ int32_t xfa_pool_snapshot(void* h, int32_t* buf, int32_t cap) {
     *w++ = r.id;
     *w++ = r.seq_len;
     *w++ = r.target_len;
+    *w++ = r.shared_pages;
     *w++ = static_cast<int32_t>(r.pages.size());
     for (int32_t pg : r.pages) *w++ = pg;
   }
@@ -229,14 +308,15 @@ int32_t xfa_pool_restore(void* h, const int32_t* buf, int32_t n) {
   r += n_free;
   std::vector<Request> requests(p->max_requests);
   for (int32_t s = 0; s < p->max_requests; ++s) {
-    if (r + 5 > end) return -1;
+    if (r + 6 > end) return -1;
     Request& q = requests[s];
     q.active = r[0] != 0;
     q.id = r[1];
     q.seq_len = r[2];
     q.target_len = r[3];
-    int32_t np = r[4];
-    r += 5;
+    q.shared_pages = r[4];
+    int32_t np = r[5];
+    r += 6;
     if (np < 0 || r + np > end) return -1;
     q.pages.assign(r, r + np);
     r += np;

@@ -115,6 +115,35 @@ def test_engine_checkpoint_resume_sampled(tmp_path):
     assert out == ref
 
 
+def test_engine_checkpoint_resume_with_prefix(tmp_path):
+    """Prefix-cache state (pages, registry, slot bindings) survives a
+    checkpoint: the resumed engine continues the exact token stream."""
+    def make():
+        cfg = _small_cfg()
+        params = init_params(jax.random.PRNGKey(0), cfg)
+        ecfg = EngineConfig(max_batch=2, page_size=16, num_pages=64,
+                            max_seq=256, prefill_chunk=16)
+        eng = DecodeEngine(params, cfg, ecfg)
+        eng.register_prefix("sys", [(5 * i + 2) % cfg.vocab_size
+                                    for i in range(40)])
+        eng.add_request(1, [3, 5, 7], 6, prefix_id="sys")
+        eng.add_request(2, [11, 13], 5, prefix_id="sys")
+        return params, eng
+
+    params, ref_eng = make()
+    ref = ref_eng.run(max_steps=80)
+
+    params, eng = make()
+    for _ in range(5):
+        eng.step()
+    path = str(tmp_path / "ckpt_prefix.npz")
+    save_engine(eng, path)
+    eng2 = load_engine(path, params=params)
+    assert eng2._prefixes["sys"]["pages"] == eng._prefixes["sys"]["pages"]
+    out = eng2.run(max_steps=80)
+    assert out == ref
+
+
 def test_checkpoint_cfg_mismatch(tmp_path):
     params, cfg, ecfg, eng = _make_engine()
     eng.step()

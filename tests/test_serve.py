@@ -126,6 +126,46 @@ def test_engine_chunked_prefill_token_exact(chunk):
         assert list(out[rid]) == _naive_greedy(params, cfg, p, n_new[rid]), rid
 
 
+def test_engine_prefix_caching_token_exact():
+    """Requests sharing a registered prefix must decode exactly like
+    requests given the full concatenated prompt, while the shared pages are
+    allocated once (page accounting checked)."""
+    cfg, params = _tiny()
+    page = 16
+    ecfg = EngineConfig(
+        max_batch=2, page_size=page, num_pages=64, max_seq=256,
+        prefill_chunk=32,
+    )
+    # prefix: 2.5 pages -> 2 shared pages + 8-token remainder
+    prefix = [(3 * i + 1) % cfg.vocab_size for i in range(2 * page + 8)]
+    prompts = {0: [9, 4, 77], 1: [15, 2, 8, 30, 1]}
+    n_new = {0: 5, 1: 4}
+
+    eng = DecodeEngine(params, cfg, ecfg, dtype=jnp.float32)
+    free0 = eng.pool.free_pages()
+    eng.register_prefix("sys", prefix)
+    assert free0 - eng.pool.free_pages() == 2  # whole pages only
+    for rid, p in prompts.items():
+        eng.add_request(rid, p, n_new[rid], prefix_id="sys")
+    out = eng.run()
+    for rid, p in prompts.items():
+        want = _naive_greedy(params, cfg, prefix + p, n_new[rid])
+        assert list(out[rid]) == want, rid
+    # all request pages returned; prefix pages still held
+    assert eng.pool.free_pages() == free0 - 2
+    eng.release_prefix("sys")
+    assert eng.pool.free_pages() == free0
+
+
+def test_engine_prefix_requires_chunked():
+    cfg, params = _tiny()
+    eng = DecodeEngine(params, cfg, EngineConfig(max_batch=2, page_size=16,
+                                                 num_pages=32, max_seq=256),
+                       dtype=jnp.float32)
+    with pytest.raises(ValueError):
+        eng.register_prefix("sys", [1, 2, 3])
+
+
 def test_engine_serves_moe_family_token_exact():
     """The engine's paged decode must reproduce naive MoE recompute greedy
     decoding token-for-token (capacity_factor high enough that no token

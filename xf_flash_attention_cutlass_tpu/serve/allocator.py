@@ -49,6 +49,19 @@ def _build() -> Optional[ctypes.CDLL]:
         lib.xfa_pool_free_pages.argtypes = [ctypes.c_void_p]
         lib.xfa_request_admit.restype = ctypes.c_int32
         lib.xfa_request_admit.argtypes = [ctypes.c_void_p] + [ctypes.c_int32] * 3
+        lib.xfa_request_admit_prefixed.restype = ctypes.c_int32
+        lib.xfa_request_admit_prefixed.argtypes = (
+            [ctypes.c_void_p] + [ctypes.c_int32] * 4
+        )
+        lib.xfa_prefix_alloc.restype = ctypes.c_int32
+        lib.xfa_prefix_alloc.argtypes = [
+            ctypes.c_void_p, ctypes.c_int32, ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.xfa_prefix_free.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+        ]
+        lib.xfa_request_shared_pages.restype = ctypes.c_int32
+        lib.xfa_request_shared_pages.argtypes = [ctypes.c_void_p, ctypes.c_int32]
         lib.xfa_request_extend.restype = ctypes.c_int32
         lib.xfa_request_extend.argtypes = [ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32]
         lib.xfa_request_retire.argtypes = [ctypes.c_void_p, ctypes.c_int32]
@@ -90,25 +103,36 @@ class _PyPool:
         self.num_pages = num_pages
         self.page_size = page_size
         self.free_list = list(range(num_pages - 1, -1, -1))
-        self.slots = [None] * max_requests  # (id, seq_len, pages)
+        self.slots = [None] * max_requests  # [id, seq_len, pages, shared]
 
-    def admit(self, rid, prompt_len, target_len):
+    def admit(self, rid, prompt_len, target_len, shared_pages=0):
+        if prompt_len < shared_pages * self.page_size:
+            return -1
         try:
             slot = self.slots.index(None)
         except ValueError:
             return -1
-        need = -(-prompt_len // self.page_size)
+        need = max(-(-prompt_len // self.page_size) - shared_pages, 0)
         if len(self.free_list) < need:
             return -1
         pages = [self.free_list.pop() for _ in range(need)]
-        self.slots[slot] = [rid, prompt_len, pages]
+        self.slots[slot] = [rid, prompt_len, pages, shared_pages]
         return slot
+
+    def prefix_alloc(self, n_pages):
+        if len(self.free_list) < n_pages:
+            return None
+        return [self.free_list.pop() for _ in range(n_pages)]
+
+    def prefix_free(self, pages):
+        self.free_list.extend(pages)
 
     def extend(self, slot, n_tokens):
         ent = self.slots[slot]
         if ent is None:
             return -1
-        need = -(-(ent[1] + n_tokens) // self.page_size) - len(ent[2])
+        need = (-(-(ent[1] + n_tokens) // self.page_size) - ent[3]
+                - len(ent[2]))
         if need > len(self.free_list):
             return -1
         for _ in range(need):
@@ -127,9 +151,9 @@ class _PyPool:
                  len(self.free_list)] + list(self.free_list)
         for ent in self.slots:
             if ent is None:
-                words += [0, -1, 0, 0, 0]
+                words += [0, -1, 0, 0, 0, 0]
             else:
-                words += [1, ent[0], ent[1], 0, len(ent[2])] + list(ent[2])
+                words += [1, ent[0], ent[1], 0, ent[3], len(ent[2])] + list(ent[2])
         return np.asarray(words, np.int32)
 
     def restore(self, words):
@@ -141,11 +165,11 @@ class _PyPool:
         self.free_list = w[r : r + n_free]
         r += n_free
         for s in range(len(self.slots)):
-            active, rid, seq_len, _target, n_pg = w[r : r + 5]
-            r += 5
+            active, rid, seq_len, _target, shared, n_pg = w[r : r + 6]
+            r += 6
             pages = w[r : r + n_pg]
             r += n_pg
-            self.slots[s] = [rid, seq_len, pages] if active else None
+            self.slots[s] = [rid, seq_len, pages, shared] if active else None
 
 
 class PagePool:
@@ -183,6 +207,46 @@ class PagePool:
                 self._h, request_id, prompt_len, target_len
             )
         return self._py.admit(request_id, prompt_len, target_len)
+
+    def admit_prefixed(self, request_id: int, shared_pages: int,
+                       prompt_len: int, target_len: int) -> int:
+        """Admit with the first `shared_pages` logical pages provided by a
+        shared prefix (see prefix_alloc); only the tail pages are owned."""
+        if self._lib:
+            return self._lib.xfa_request_admit_prefixed(
+                self._h, request_id, shared_pages, prompt_len, target_len
+            )
+        return self._py.admit(request_id, prompt_len, target_len,
+                              shared_pages=shared_pages)
+
+    def prefix_alloc(self, n_pages: int):
+        """Reserve pages for a shared prefix; returns list of page ids or
+        None on OOM. Freed only by prefix_free."""
+        if self._lib:
+            buf = np.zeros((max(n_pages, 1),), np.int32)
+            rc = self._lib.xfa_prefix_alloc(
+                self._h, n_pages,
+                buf.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            )
+            return buf[:n_pages].tolist() if rc == 0 else None
+        return self._py.prefix_alloc(n_pages)
+
+    def prefix_free(self, pages) -> None:
+        if self._lib:
+            buf = np.asarray(pages, np.int32)
+            self._lib.xfa_prefix_free(
+                self._h,
+                buf.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                len(buf),
+            )
+        else:
+            self._py.prefix_free(list(pages))
+
+    def shared_pages(self, slot: int) -> int:
+        if self._lib:
+            return self._lib.xfa_request_shared_pages(self._h, slot)
+        ent = self._py.slots[slot]
+        return ent[3] if ent else -1
 
     def extend(self, slot: int, n_tokens: int = 1) -> int:
         if self._lib:
@@ -246,8 +310,9 @@ class PagePool:
         for s, ent in enumerate(self._py.slots):
             if ent is None:
                 continue
-            pages = ent[2][:max_pages]
-            bt[s, : len(pages)] = pages
+            off = min(ent[3], max_pages)
+            pages = ent[2][: max(max_pages - off, 0)]
+            bt[s, off : off + len(pages)] = pages
             sl[s] = ent[1]
             n += 1
         return bt, sl, n

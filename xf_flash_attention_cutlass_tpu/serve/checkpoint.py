@@ -74,6 +74,9 @@ def save_engine(engine, path: str, include_params: bool = False) -> None:
         step_count=engine._step_count,
         trash_page=engine.trash_page,
         include_params=include_params,
+        prefixes=engine._prefixes,
+        slot_prefix={str(k): v for k, v in engine._slot_prefix.items()},
+        prefill=engine._prefill,
     )
     payload = dict(
         state=np.frombuffer(json.dumps(state).encode(), np.uint8),
@@ -150,4 +153,9 @@ def load_engine(
         engine._step_count = state["step_count"]
         engine._sample_base = jnp.asarray(z["sample_base"])
         engine.trash_page = state["trash_page"]
+        engine._prefixes = state.get("prefixes", {})
+        engine._slot_prefix = {
+            int(k): v for k, v in state.get("slot_prefix", {}).items()
+        }
+        engine._prefill = state.get("prefill")
     return engine

@@ -474,6 +474,10 @@ class DecodeEngine:
         # in-flight chunked prefill (one request at a time; one chunk per
         # engine step, interleaved with decode)
         self._prefill: Optional[dict] = None
+        # shared-prefix cache: prefix_id -> dict(pages, shared_len, tokens,
+        # remainder); slot -> prefix_id for live requests
+        self._prefixes: Dict[str, dict] = {}
+        self._slot_prefix: Dict[int, str] = {}
 
     def add_request(
         self,
@@ -482,8 +486,75 @@ class DecodeEngine:
         max_new_tokens: int,
         temperature: float = 0.0,  # 0 = greedy; >0 samples (top_k/top_p
         # truncation is engine-wide, EngineConfig)
+        prefix_id: Optional[str] = None,  # shared prefix (register_prefix)
     ):
-        self.queue.append((request_id, list(prompt), max_new_tokens, temperature))
+        if prefix_id is not None:
+            if not self.ecfg.prefill_chunk:
+                raise ValueError(
+                    "prefix caching requires chunked prefill "
+                    "(EngineConfig.prefill_chunk)"
+                )
+            if prefix_id not in self._prefixes:
+                raise KeyError(f"unknown prefix {prefix_id!r}")
+        self.queue.append(
+            (request_id, list(prompt), max_new_tokens, temperature, prefix_id)
+        )
+
+    def register_prefix(self, prefix_id: str, tokens: List[int]) -> None:
+        """Prefill a shared prefix (e.g. a system prompt) ONCE into its own
+        pages; later requests admitted with this prefix_id attend to those
+        pages through their block tables without re-computing or re-storing
+        the prefix KV. Only whole pages are shared; the tail remainder
+        (len % page_size tokens) is prepended to each request's own prompt.
+        Requires chunked prefill. Free with release_prefix."""
+        if not self.ecfg.prefill_chunk:
+            raise ValueError("prefix caching requires EngineConfig.prefill_chunk")
+        if prefix_id in self._prefixes:
+            raise ValueError(f"prefix {prefix_id!r} already registered")
+        page = self.ecfg.page_size
+        shared_pages = len(tokens) // page
+        shared_len = shared_pages * page
+        pages = self.pool.prefix_alloc(shared_pages) if shared_pages else []
+        if pages is None:
+            raise RuntimeError("page pool cannot hold the prefix")
+        # prefill the shared tokens chunk by chunk into the prefix pages
+        C = self.ecfg.prefill_chunk
+        mp = self.ecfg.max_pages_per_seq
+        bt_row = np.full((1, mp), self.trash_page, np.int32)
+        bt_row[0, : len(pages)] = pages
+        pos = 0
+        while pos < shared_len:
+            chunk = tokens[pos : pos + C]
+            n_valid = len(chunk)
+            buf = np.zeros((1, C), np.int32)
+            buf[0, :n_valid] = chunk
+            _, self.pools = prefill_chunk_step(
+                self._decode_params,
+                jnp.asarray(buf),
+                jnp.asarray(pos, jnp.int32),
+                jnp.asarray(n_valid, jnp.int32),
+                self.pools,
+                jnp.asarray(bt_row),
+                self.cfg,
+                self.ecfg.kv_quant,
+                self.interpret,
+            )
+            pos += n_valid
+        self._prefixes[prefix_id] = dict(
+            pages=list(pages),
+            shared_len=shared_len,
+            tokens=list(tokens),
+            remainder=list(tokens[shared_len:]),
+        )
+
+    def release_prefix(self, prefix_id: str) -> None:
+        """Return a prefix's pages to the pool (no live request may still
+        reference it)."""
+        if prefix_id in self._slot_prefix.values():
+            raise RuntimeError(f"prefix {prefix_id!r} still in use")
+        pf = self._prefixes.pop(prefix_id)
+        if pf["pages"]:
+            self.pool.prefix_free(pf["pages"])
 
     # ---- internals -------------------------------------------------------
     def _bucket(self, n: int) -> int:
@@ -495,34 +566,59 @@ class DecodeEngine:
         return min(b, self.ecfg.max_seq)
 
     def _start_chunked_prefill(self) -> bool:
-        rid, prompt, max_new, temp = self.queue[0]
-        slot = self.pool.admit(rid, len(prompt), len(prompt) + max_new)
+        rid, prompt, max_new, temp, prefix_id = self.queue[0]
+        if prefix_id is not None:
+            pf = self._prefixes[prefix_id]
+            todo = pf["remainder"] + prompt  # tokens this request computes
+            base = pf["shared_len"]
+            total = base + len(todo)
+            slot = self.pool.admit_prefixed(
+                rid, len(pf["pages"]), total, total + max_new
+            )
+        else:
+            todo, base = prompt, 0
+            slot = self.pool.admit(rid, len(todo), len(todo) + max_new)
         if slot < 0:
             return False
         self.queue.popleft()
+        if prefix_id is not None:
+            self._slot_prefix[slot] = prefix_id
         self._prefill = dict(
-            slot=slot, id=rid, prompt=prompt, max_new=max_new,
-            temperature=temp, pos=0,
+            slot=slot, id=rid, prompt=prompt, todo=todo, base=base,
+            done=0, max_new=max_new, temperature=temp, prefix_id=prefix_id,
         )
         return True
+
+    def _bt_row_with_prefix(self, slot: int) -> np.ndarray:
+        """This slot's full block-table row: own pages from the allocator
+        (already offset past the shared region), shared-prefix pages
+        overlaid, trash elsewhere."""
+        mp = self.ecfg.max_pages_per_seq
+        bt, _, _ = self.pool.build_block_tables(mp)
+        row = bt[slot].copy()
+        seq = self.pool.seq_len(slot)
+        n_pages = cdiv(max(seq, 1), self.ecfg.page_size)
+        row[n_pages:] = self.trash_page
+        pid = self._slot_prefix.get(slot)
+        if pid is not None:
+            pages = self._prefixes[pid]["pages"]
+            row[: len(pages)] = pages
+        return row[None]
 
     def _advance_chunked_prefill(self):
         """Run ONE chunk of the in-flight prefill; activate when done."""
         st = self._prefill
         C = self.ecfg.prefill_chunk
-        prompt, pos = st["prompt"], st["pos"]
-        chunk = prompt[pos : pos + C]
+        todo, done, base = st["todo"], st["done"], st["base"]
+        chunk = todo[done : done + C]
         n_valid = len(chunk)
         tokens = np.zeros((1, C), np.int32)
         tokens[0, :n_valid] = chunk
-        bt, _, _ = self.pool.build_block_tables(self.ecfg.max_pages_per_seq)
-        n_pages = cdiv(len(prompt), self.ecfg.page_size)
-        bt_row = np.full((1, self.ecfg.max_pages_per_seq), self.trash_page, np.int32)
-        bt_row[0, :n_pages] = bt[st["slot"], :n_pages]
+        bt_row = self._bt_row_with_prefix(st["slot"])
         logits, self.pools = prefill_chunk_step(
             self._decode_params,
             jnp.asarray(tokens),
-            jnp.asarray(pos, jnp.int32),
+            jnp.asarray(base + done, jnp.int32),
             jnp.asarray(n_valid, jnp.int32),
             self.pools,
             jnp.asarray(bt_row),
@@ -530,8 +626,8 @@ class DecodeEngine:
             self.ecfg.kv_quant,
             self.interpret,
         )
-        st["pos"] = pos + n_valid
-        if st["pos"] < len(prompt):
+        st["done"] = done + n_valid
+        if st["done"] < len(todo):
             return
         first = jnp.argmax(logits).astype(jnp.int32)
         if st["temperature"] > 0.0:
@@ -550,11 +646,13 @@ class DecodeEngine:
             generated=[int(first)],
             max_new=st["max_new"],
             temperature=st["temperature"],
+            prefix_id=st["prefix_id"],
         )
         self._prefill = None
 
     def _admit_one(self) -> bool:
-        rid, prompt, max_new, temp = self.queue[0]
+        rid, prompt, max_new, temp, prefix_id = self.queue[0]
+        assert prefix_id is None  # guarded in add_request
         slot = self.pool.admit(rid, len(prompt), len(prompt) + max_new)
         if slot < 0:
             return False
@@ -626,6 +724,7 @@ class DecodeEngine:
             if done:
                 self.results[st["id"]] = st["generated"]
                 self.pool.retire(slot)
+                self._slot_prefix.pop(slot, None)
                 del self.active[slot]
         if not self.active:
             return emitted
@@ -636,10 +735,11 @@ class DecodeEngine:
                 # resumes via prefill once pages free up
                 st = self.active.pop(slot)
                 self.pool.retire(slot)
+                self._slot_prefix.pop(slot, None)
                 remaining = st["max_new"] - len(st["generated"])
                 self.queue.appendleft(
                     (st["id"], st["prompt"] + st["generated"], remaining,
-                     st["temperature"])
+                     st["temperature"], st.get("prefix_id"))
                 )
         if not self.active:
             return emitted
@@ -648,6 +748,11 @@ class DecodeEngine:
         for slot in range(self.ecfg.max_batch):
             if slot not in self.active:
                 bt[slot, :] = self.trash_page
+        # overlay shared-prefix pages (allocator rows leave that region 0)
+        for slot, pid in self._slot_prefix.items():
+            if slot in self.active:
+                pages = self._prefixes[pid]["pages"]
+                bt[slot, : len(pages)] = pages
         tokens = np.zeros((self.ecfg.max_batch, 1), np.int32)
         temps = np.zeros((self.ecfg.max_batch,), np.float32)
         for slot, st in self.active.items():
