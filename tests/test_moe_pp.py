@@ -168,6 +168,33 @@ def test_pp_forward_matches_single(pp, n_micro):
     assert max_err(out, ref) < 1e-4
 
 
+@pytest.mark.parametrize("dp,pp,tp", [(1, 2, 2), (2, 2, 2)])
+def test_pp_tp_3d_loss_and_grad_matches_single(dp, pp, tp):
+    """Full 3-D composition: stages over pp, Megatron shards over tp,
+    batch over dp — loss and every grad must match the single-device step."""
+    cfg, params = _tiny_llama()
+    mesh = make_mesh(dp=dp, pp=pp, tp=tp, devices=_cpu_devices(dp * pp * tp))
+    b = 2 * dp
+    tokens = jax.random.randint(jax.random.PRNGKey(3), (b, 17), 0, cfg.vocab_size)
+
+    def ref_loss(p):
+        shard_b = b // dp
+        losses = [
+            loss_fn(p, tokens[i : i + shard_b], cfg)
+            for i in range(0, b, shard_b)
+        ]
+        return sum(losses) / len(losses)
+
+    ref_l, ref_g = jax.value_and_grad(ref_loss)(params)
+    loss, grads = pp_loss_and_grad(
+        shard_pp_params(params, mesh), tokens, cfg, mesh, n_micro=2
+    )
+    assert abs(float(loss) - float(ref_l)) < 1e-5
+    err = jax.tree_util.tree_map(lambda a, b: max_err(a, b), grads, ref_g)
+    worst = max(jax.tree_util.tree_leaves(err))
+    assert worst < 1e-4, worst
+
+
 def test_pp_loss_and_grad_matches_single():
     cfg, params = _tiny_llama()
     dp, pp, n_micro = 2, 2, 2
