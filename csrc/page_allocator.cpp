@@ -192,6 +192,27 @@ int32_t xfa_request_extend(void* h, int32_t slot, int32_t n_tokens) {
   return r.seq_len;
 }
 
+// Shrink `slot` to `new_len` tokens (speculative-decode rollback: pages
+// holding only rejected-draft KV return to the pool). No-op if new_len is
+// not smaller. Returns the new seq_len, or -1 on a bad slot.
+int32_t xfa_request_truncate(void* h, int32_t slot, int32_t new_len) {
+  Pool* p = static_cast<Pool*>(h);
+  if (slot < 0 || slot >= p->max_requests) return -1;
+  Request& r = p->requests[slot];
+  if (!r.active) return -1;
+  if (new_len < r.shared_pages * p->page_size) return -1;
+  if (new_len >= r.seq_len) return r.seq_len;
+  int32_t keep_own = pages_needed(*p, new_len) - r.shared_pages;
+  if (keep_own < 0) keep_own = 0;
+  while (static_cast<int32_t>(r.pages.size()) > keep_own) {
+    p->free_list.push_back(r.pages.back());
+    r.pages.pop_back();
+    p->free_count++;
+  }
+  r.seq_len = new_len;
+  return r.seq_len;
+}
+
 // Retire a request, returning its pages to the pool.
 void xfa_request_retire(void* h, int32_t slot) {
   Pool* p = static_cast<Pool*>(h);

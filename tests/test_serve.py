@@ -126,6 +126,46 @@ def test_engine_chunked_prefill_token_exact(chunk):
         assert list(out[rid]) == _naive_greedy(params, cfg, p, n_new[rid]), rid
 
 
+@pytest.mark.parametrize("spec_k", [2, 4])
+def test_engine_speculative_decode_token_exact(spec_k):
+    """Speculative decoding must reproduce plain greedy decoding
+    token-for-token regardless of draft quality — repetitive prompts get
+    accepted drafts (multi-token steps), random ones get rejections."""
+    cfg, params = _tiny()
+    ecfg = EngineConfig(max_batch=2, page_size=16, num_pages=64, max_seq=256,
+                        speculate_k=spec_k)
+    eng = DecodeEngine(params, cfg, ecfg, dtype=jnp.float32)
+    prompts = {
+        0: [5, 9, 2, 5, 9, 2, 5, 9, 2, 5, 9],  # repetitive: drafts hit
+        1: [3, 17, 42, 9, 55, 21, 60],          # arbitrary: drafts miss
+    }
+    n_new = {0: 7, 1: 6}
+    for rid, p in prompts.items():
+        eng.add_request(rid, p, n_new[rid])
+    steps = 0
+    while (eng.queue or eng.active) and steps < 100:
+        eng.step()
+        steps += 1
+    for rid, p in prompts.items():
+        assert list(eng.results[rid]) == _naive_greedy(params, cfg, p, n_new[rid]), rid
+    # speculation must have saved steps for the repetitive prompt
+    assert steps < 2 + max(n_new.values()) + 3
+
+
+def test_engine_speculative_with_prefix_and_chunked():
+    """All three serving features compose: chunked prefill + shared prefix
+    + speculative decode, still token-exact."""
+    cfg, params = _tiny()
+    ecfg = EngineConfig(max_batch=2, page_size=16, num_pages=64, max_seq=256,
+                        prefill_chunk=16, speculate_k=3)
+    eng = DecodeEngine(params, cfg, ecfg, dtype=jnp.float32)
+    prefix = [(5 * i + 2) % cfg.vocab_size for i in range(2 * 16 + 5)]
+    eng.register_prefix("sys", prefix)
+    eng.add_request(0, [9, 4, 77], 5, prefix_id="sys")
+    out = eng.run()
+    assert list(out[0]) == _naive_greedy(params, cfg, prefix + [9, 4, 77], 5)
+
+
 def test_engine_prefix_caching_token_exact():
     """Requests sharing a registered prefix must decode exactly like
     requests given the full concatenated prompt, while the shared pages are

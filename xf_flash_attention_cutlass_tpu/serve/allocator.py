@@ -62,6 +62,10 @@ def _build() -> Optional[ctypes.CDLL]:
         ]
         lib.xfa_request_shared_pages.restype = ctypes.c_int32
         lib.xfa_request_shared_pages.argtypes = [ctypes.c_void_p, ctypes.c_int32]
+        lib.xfa_request_truncate.restype = ctypes.c_int32
+        lib.xfa_request_truncate.argtypes = [
+            ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32,
+        ]
         lib.xfa_request_extend.restype = ctypes.c_int32
         lib.xfa_request_extend.argtypes = [ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32]
         lib.xfa_request_retire.argtypes = [ctypes.c_void_p, ctypes.c_int32]
@@ -138,6 +142,18 @@ class _PyPool:
         for _ in range(need):
             ent[2].append(self.free_list.pop())
         ent[1] += n_tokens
+        return ent[1]
+
+    def truncate(self, slot, new_len):
+        ent = self.slots[slot]
+        if ent is None or new_len < ent[3] * self.page_size:
+            return -1
+        if new_len >= ent[1]:
+            return ent[1]
+        keep = max(-(-new_len // self.page_size) - ent[3], 0)
+        while len(ent[2]) > keep:
+            self.free_list.append(ent[2].pop())
+        ent[1] = new_len
         return ent[1]
 
     def retire(self, slot):
@@ -247,6 +263,13 @@ class PagePool:
             return self._lib.xfa_request_shared_pages(self._h, slot)
         ent = self._py.slots[slot]
         return ent[3] if ent else -1
+
+    def truncate(self, slot: int, new_len: int) -> int:
+        """Shrink a sequence (speculative-decode rollback); frees pages that
+        held only rejected-draft KV. Returns the new seq_len."""
+        if self._lib:
+            return self._lib.xfa_request_truncate(self._h, slot, new_len)
+        return self._py.truncate(slot, new_len)
 
     def extend(self, slot: int, n_tokens: int = 1) -> int:
         if self._lib:

@@ -52,6 +52,13 @@ class EngineConfig:
     # ONE compiled prefill shape for every prompt length and bounded
     # per-step latency. None keeps whole-prompt bucketed prefill.
     prefill_chunk: Optional[int] = None
+    # speculative decoding (greedy requests only): each step verifies
+    # [last_token + (speculate_k-1) prompt-lookup drafts] in one batched
+    # multi-token paged step and emits 1..speculate_k tokens — exactly the
+    # plain greedy stream, faster when the text is locally repetitive.
+    # <=1 disables.
+    speculate_k: int = 0
+    spec_ngram: int = 3  # prompt-lookup match length for drafting
     # sampling: per-request temperature rides add_request(); these truncation
     # knobs are engine-wide (static shapes under jit). 0 disables either.
     top_k: int = 0
@@ -243,6 +250,115 @@ def decode_step(
         temperature=temperature, sample_key=sample_key,
         top_k=top_k, top_p=top_p,
     )
+
+
+def verify_core(
+    params,
+    tokens,  # (b, L) int32 — [last_sampled, draft_1, ..., draft_{L-1}]
+    pools,
+    block_tables,  # (b, max_pages) int32
+    kv_lens,  # (b,) int32 — seq length AFTER this step (cur + L)
+    cfg: LlamaConfig,
+    quant: Optional[str] = None,
+    interpret: Optional[bool] = None,
+):
+    """Speculative-decoding verification: one batched multi-token step.
+    Appends all L input tokens' KV and returns logits at every position
+    (b, L, vocab) — the target model's greedy continuation g_i after
+    consuming inputs x_0..x_i. The engine accepts the longest draft prefix
+    with d_i == g_{i-1} and truncates the cache past the accepted region
+    (rejected-draft KV is garbage beyond kv_len and gets overwritten).
+    """
+    b, L = tokens.shape
+    n_layers = pools["k"].shape[0]
+    x = params["embed"][jnp.clip(tokens, 0, cfg.vocab_size - 1)]
+    positions = (kv_lens - L)[:, None] + jnp.arange(L, dtype=jnp.int32)[None]
+    cos, sin = rotary_frequencies(cfg.head_dim, cfg.max_seq_len, cfg.rope_base)
+    append_pos = jnp.maximum(kv_lens - L, 0)
+
+    layers_xs, layers_stacked = _split_layer_params(params["layers"])
+
+    def body(carry, xs):
+        layer_xs, l = xs
+        layer = _layer_view(layer_xs, layers_stacked, l)
+        if quant:
+            x, kp, vp, ks, vs = carry
+        else:
+            x, kp, vp = carry
+        q, k_new, v_new = _attn_qkv(layer, x, cfg, cos, sin, positions)
+        if quant:
+            kp, vp, ks, vs = paged_append(
+                kp, vp, k_new, v_new, block_tables, append_pos,
+                k_scales=ks, v_scales=vs, layer_idx=l, interpret=interpret,
+            )
+            o, _ = paged_attention(
+                q, kp, vp, block_tables, kv_lens, causal=True,
+                k_scales=ks, v_scales=vs, layer_idx=l, interpret=interpret,
+            )
+        else:
+            kp, vp = paged_append(
+                kp, vp, k_new, v_new, block_tables, append_pos,
+                layer_idx=l, interpret=interpret,
+            )
+            o, _ = paged_attention(
+                q, kp, vp, block_tables, kv_lens, causal=True,
+                layer_idx=l, interpret=interpret,
+            )
+        o = o.reshape(b, L, cfg.n_heads * cfg.head_dim)
+        x = x + _proj(o, layer["wo"])
+        x = _mlp(layer, x, cfg)
+        carry = (x, kp, vp, ks, vs) if quant else (x, kp, vp)
+        return carry, None
+
+    carry0 = (
+        (x, pools["k"], pools["v"], pools["k_s"], pools["v_s"])
+        if quant
+        else (x, pools["k"], pools["v"])
+    )
+    carry, _ = jax.lax.scan(
+        body, carry0, (layers_xs, jnp.arange(n_layers, dtype=jnp.int32))
+    )
+    x = carry[0]
+    x = rms_norm(x, params["final_norm"], cfg.rms_eps)
+    logits = _proj(x.reshape(b * L, -1), params["lm_head"])
+    logits = logits.reshape(b, L, -1).astype(jnp.float32)
+    if quant:
+        pools = dict(k=carry[1], v=carry[2], k_s=carry[3], v_s=carry[4])
+    else:
+        pools = dict(k=carry[1], v=carry[2])
+    return logits, pools
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "quant", "interpret"),
+    donate_argnames=("pools",),
+)
+def verify_step(
+    params, tokens, pools, block_tables, kv_lens,
+    cfg: LlamaConfig, quant: Optional[str] = None,
+    interpret: Optional[bool] = None,
+):
+    return verify_core(
+        params, tokens, pools, block_tables, kv_lens, cfg, quant, interpret
+    )
+
+
+def draft_prompt_lookup(ctx: List[int], n_draft: int, ngram: int = 3) -> List[int]:
+    """Model-free drafting (prompt lookup): find the latest earlier
+    occurrence of the context's final `ngram` and propose the tokens that
+    followed it. Bad proposals cost nothing — the verifier rejects them and
+    the step still emits >= 1 token."""
+    if n_draft <= 0:
+        return []
+    if len(ctx) > ngram:
+        pat = ctx[-ngram:]
+        for s in range(len(ctx) - ngram - 1, -1, -1):
+            if ctx[s : s + ngram] == pat:
+                cont = ctx[s + ngram : s + ngram + n_draft]
+                if cont:
+                    return (cont + [ctx[-1]] * (n_draft - len(cont)))[:n_draft]
+    return [ctx[-1]] * n_draft
 
 
 def prefill_core(
@@ -728,6 +844,14 @@ class DecodeEngine:
                 del self.active[slot]
         if not self.active:
             return emitted
+        # speculative decoding: greedy-only (acceptance is exact equality
+        # with the target's argmax, so output is token-identical to plain
+        # greedy decode regardless of draft quality)
+        if self.ecfg.speculate_k > 1 and all(
+            st["temperature"] <= 0.0 for st in self.active.values()
+        ):
+            self._spec_decode(emitted)
+            return emitted
         # grow each active sequence by one (the pending token's KV)
         for slot in list(self.active):
             if self.pool.extend(slot, 1) < 0:
@@ -785,6 +909,71 @@ class DecodeEngine:
             st["generated"].append(tok)
             emitted.setdefault(st["id"], []).append(tok)
         return emitted
+
+    def _spec_decode(self, emitted: Dict[int, List[int]]) -> None:
+        """One speculative step: draft L-1 tokens per request (prompt
+        lookup), verify the whole batch in a single L-token paged step,
+        accept the longest matching prefix + one bonus token (1..L tokens
+        per request per step), truncate rejected-draft pages."""
+        L = self.ecfg.speculate_k
+        # pre-allocate pages for all L candidate positions; roll back after
+        for slot in list(self.active):
+            if self.pool.extend(slot, L) < 0:
+                st = self.active.pop(slot)
+                self.pool.retire(slot)
+                self._slot_prefix.pop(slot, None)
+                remaining = st["max_new"] - len(st["generated"])
+                self.queue.appendleft(
+                    (st["id"], st["prompt"] + st["generated"], remaining,
+                     st["temperature"], st.get("prefix_id"))
+                )
+        if not self.active:
+            return
+        bt, kv_lens, _ = self.pool.build_block_tables(self.ecfg.max_pages_per_seq)
+        for slot in range(self.ecfg.max_batch):
+            if slot not in self.active:
+                bt[slot, :] = self.trash_page
+        for slot, pid in self._slot_prefix.items():
+            if slot in self.active:
+                pages = self._prefixes[pid]["pages"]
+                bt[slot, : len(pages)] = pages
+        tokens = np.zeros((self.ecfg.max_batch, L), np.int32)
+        for slot, st in self.active.items():
+            ctx = st["prompt"] + st["generated"]
+            drafts = draft_prompt_lookup(ctx, L - 1, self.ecfg.spec_ngram)
+            tokens[slot] = [st["last_token"]] + drafts
+        self._step_count += 1
+        logits, self.pools = verify_step(
+            self._decode_params,
+            jnp.asarray(tokens),
+            self.pools,
+            jnp.asarray(bt),
+            jnp.asarray(kv_lens),
+            self.cfg,
+            self.ecfg.kv_quant,
+            self.interpret,
+        )
+        greedy = np.asarray(jnp.argmax(logits, axis=-1))  # (b, L)
+        for slot, st in self.active.items():
+            g = greedy[slot]
+            drafts = tokens[slot, 1:]
+            a = 0
+            while a < L - 1 and drafts[a] == g[a]:
+                a += 1
+            out = [int(t) for t in drafts[:a]] + [int(g[a])]
+            # clamp to the request budget and stop at eos
+            remaining = st["max_new"] - len(st["generated"])
+            out = out[:remaining]
+            if self.ecfg.eos_token >= 0 and self.ecfg.eos_token in out:
+                out = out[: out.index(self.ecfg.eos_token) + 1]
+            # cache holds KV for [last] + accepted/kept drafts = len(out)
+            # consumed inputs; positions past that are rejected-draft
+            # garbage — return their pages
+            cur_before = int(kv_lens[slot]) - L
+            self.pool.truncate(slot, cur_before + len(out))
+            st["generated"].extend(out)
+            st["last_token"] = out[-1]
+            emitted.setdefault(st["id"], []).extend(out)
 
     def run(self, max_steps: int = 10_000) -> Dict[int, List[int]]:
         steps = 0
