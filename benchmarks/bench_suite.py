@@ -168,6 +168,63 @@ def bench_engine_decode(quant=None, quant_weights=False):
     )
 
 
+def _engine_verify_step_seconds(L, quant, n_layers, quant_weights):
+    from xf_flash_attention_cutlass_tpu.models.llama import (
+        LlamaConfig, init_params, pack_params_for_decode, quantize_params,
+    )
+    from xf_flash_attention_cutlass_tpu.serve.engine import verify_core
+
+    cfg = LlamaConfig(
+        vocab_size=8192, dim=4096, n_layers=n_layers, n_heads=32,
+        n_kv_heads=8, ffn_dim=14336, max_seq_len=4096,
+    )
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    if quant_weights:
+        params = quantize_params(params)
+    params = pack_params_for_decode(params)
+    B, page, mp = 64, 256, 8
+    num_pages = B * mp + 1
+    shape = (n_layers, num_pages, cfg.n_kv_heads, page, cfg.head_dim)
+    if quant:
+        vdt = jnp.int8 if quant == "int8" else jnp.float8_e4m3fn
+        pools = dict(
+            k=jnp.zeros(shape, vdt), v=jnp.zeros(shape, vdt),
+            k_s=jnp.ones(shape[:-1], jnp.float32),
+            v_s=jnp.ones(shape[:-1], jnp.float32),
+        )
+    else:
+        pools = dict(k=jnp.zeros(shape, jnp.bfloat16), v=jnp.zeros(shape, jnp.bfloat16))
+    bt = jnp.arange(B * mp, dtype=jnp.int32).reshape(B, mp)
+    kv_lens = jnp.full((B,), 1500, jnp.int32)
+    tokens = jnp.zeros((B, L), jnp.int32)
+
+    def step(carry, params, bt, kv_lens):
+        t, pools = carry
+        logits, pools = verify_core(params, t, pools, bt, kv_lens, cfg, quant)
+        return (jnp.argmax(logits, -1).astype(jnp.int32), pools)
+
+    return timed_scan(step, (tokens, pools), params, bt, kv_lens)
+
+
+def bench_speculative_verify(L=4, quant="int8", quant_weights=True):
+    """Speculative decoding economics at the 8B decode shape: the cost of an
+    L-token verification step vs a plain decode step. With per-step
+    acceptance a in [0, L-1] drafts, speculative decode emits (1+a) tokens
+    per verify step, so effective speedup = (1+a) * t_decode / t_verify."""
+    t2 = _engine_verify_step_seconds(L, quant, 2, quant_weights)
+    t4 = _engine_verify_step_seconds(L, quant, 4, quant_weights)
+    tv = (t4 - t2) / 2
+    d2 = _engine_decode_step_seconds(quant, 2, quant_weights)
+    d4 = _engine_decode_step_seconds(quant, 4, quant_weights)
+    td = (d4 - d2) / 2
+    print(
+        f"speculative_verify L={L} kv={quant}+w8: {tv*1e6:.0f}us/layer vs "
+        f"decode {td*1e6:.0f}us/layer -> break-even acceptance "
+        f"{max(tv/td - 1.0, 0.0):.2f} drafts; full-acceptance speedup "
+        f"{L*td/tv:.2f}x"
+    )
+
+
 def bench_engine_prefill(bucket=2048, n_layers=2, quant=None):
     """Prefill throughput on the 8B-class layer geometry (dense flash +
     paged KV write), per-layer time extrapolated to the 32-layer stack."""
@@ -219,6 +276,7 @@ if __name__ == "__main__":
     for kv in (None, "int8", "fp8_e4m3"):
         bench_engine_decode(kv)
     bench_engine_decode("int8", quant_weights=True)
+    bench_speculative_verify()
     for bucket in (512, 2048):
         bench_engine_prefill(bucket)
     bench_engine_prefill(2048, quant="int8")

@@ -403,3 +403,50 @@ def test_paged_append_chunked_prefill():
     assert max_err(ov.astype(jnp.int32), rv.astype(jnp.int32)) == 0
     assert max_err(oks, rks) < 1e-6
     assert max_err(ovs, rvs) < 1e-6
+
+
+def test_paged_append_decode_multitoken():
+    """mode="decode" with sq>1 (speculative verify): batched multi-token
+    append at arbitrary unaligned positions — may cross page boundaries —
+    must match the scatter oracle, bf16 and quantized."""
+    from xf_flash_attention_cutlass_tpu.ops.kvcache import (
+        append_kv_paged,
+        append_kv_paged_quantized,
+    )
+    from xf_flash_attention_cutlass_tpu.ops.paged_append import paged_append
+    from xf_flash_attention_cutlass_tpu.quant import quantize_kv
+
+    L, nb, hk, page, d = 2, 12, 2, 16, 128
+    b, sq = 3, 4
+    kp = rand(jax.random.PRNGKey(0), (L, nb, hk, page, d), jnp.float32)
+    vp = rand(jax.random.PRNGKey(1), (L, nb, hk, page, d), jnp.float32)
+    bt = jnp.asarray(
+        np.random.default_rng(0).permutation(nb)[: b * 4].reshape(b, 4), jnp.int32
+    )
+    lidx = jnp.asarray(1, jnp.int32)
+    kn = rand(jax.random.PRNGKey(2), (b, sq, hk, d), jnp.float32)
+    vn = rand(jax.random.PRNGKey(3), (b, sq, hk, d), jnp.float32)
+    # 14: crosses the page-16 boundary mid-append; 3: interior; 40: page 2
+    pos = jnp.asarray([14, 3, 40], jnp.int32)
+
+    ref_k, ref_v = append_kv_paged(kp, vp, kn, vn, bt, pos, layer_idx=lidx)
+    out_k, out_v = paged_append(
+        kp.copy(), vp.copy(), kn, vn, bt, pos, layer_idx=lidx, mode="decode"
+    )
+    assert max_err(out_k, ref_k) == 0.0
+    assert max_err(out_v, ref_v) == 0.0
+
+    kq, ks = quantize_kv(kp, "int8")
+    vq, vs = quantize_kv(vp, "int8")
+    ks, vs = ks[..., 0], vs[..., 0]
+    rk, rks, rv, rvs = append_kv_paged_quantized(
+        kq, ks, vq, vs, kn, vn, bt, pos, layer_idx=lidx
+    )
+    ok, ov, oks, ovs = paged_append(
+        kq.copy(), vq.copy(), kn, vn, bt, pos,
+        k_scales=ks.copy(), v_scales=vs.copy(), layer_idx=lidx, mode="decode",
+    )
+    assert max_err(ok.astype(jnp.int32), rk.astype(jnp.int32)) == 0
+    assert max_err(ov.astype(jnp.int32), rv.astype(jnp.int32)) == 0
+    assert max_err(oks, rks) < 1e-6
+    assert max_err(ovs, rvs) < 1e-6

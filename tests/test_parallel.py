@@ -218,3 +218,54 @@ def test_ulysses_attention_gqa(h_k):
         )
     )
     assert max_err(uly(q, k, v), o_ref) < 1e-4
+
+
+@pytest.mark.parametrize("quant", [None, "int8"])
+def test_tp_verify_matches_single(quant):
+    """TP-sharded speculative verification == single-device verify_step."""
+    from xf_flash_attention_cutlass_tpu.parallel.tp_serve import (
+        shard_pools,
+        tp_verify_step,
+    )
+    from xf_flash_attention_cutlass_tpu.quant import quantize_kv
+    from xf_flash_attention_cutlass_tpu.serve.engine import verify_step
+
+    cfg = LlamaConfig(
+        vocab_size=64, dim=64, n_layers=2, n_heads=4, n_kv_heads=2,
+        ffn_dim=96, max_seq_len=256,
+    )
+    params = init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    L, num_pages, page = cfg.n_layers, 8, 16
+    kpool = jax.random.normal(
+        jax.random.PRNGKey(1),
+        (L, num_pages, cfg.n_kv_heads, page, cfg.head_dim), jnp.float32,
+    )
+    vpool = jax.random.normal(jax.random.PRNGKey(2), kpool.shape, jnp.float32)
+    if quant:
+        kq, ks = quantize_kv(kpool, quant)
+        vq, vs = quantize_kv(vpool, quant)
+        pools = dict(k=kq, v=vq, k_s=ks[..., 0], v_s=vs[..., 0])
+    else:
+        pools = dict(k=kpool, v=vpool)
+    bt = jnp.asarray([[0, 1, 2, 3], [4, 5, 6, 7]], jnp.int32)
+    Lq = 3  # draft length + 1
+    kv_lens = jnp.asarray([17 + Lq, 40 + Lq], jnp.int32)
+    tokens = jnp.asarray([[5, 11, 3], [9, 2, 60]], jnp.int32)
+
+    ref_logits, ref_pools = verify_step(
+        params, tokens, {k: v.copy() for k, v in pools.items()}, bt, kv_lens,
+        cfg, quant,
+    )
+
+    mesh = make_mesh(tp=2, devices=_cpu_devices(2))
+    from xf_flash_attention_cutlass_tpu.parallel import shard_params
+
+    sp = shard_params(params, mesh)
+    spools = shard_pools(pools, mesh)
+    logits, out_pools = tp_verify_step(
+        sp, tokens, spools, bt, kv_lens, cfg, mesh, quant
+    )
+    assert logits.shape == (2, Lq, cfg.vocab_size)
+    assert max_err(logits, ref_logits) < 1e-4
+    for name in pools:
+        assert max_err(out_pools[name], ref_pools[name]) < 1e-5, name

@@ -274,15 +274,20 @@ def paged_append(
     v_scales: Optional[jax.Array] = None,
     layer_idx: Optional[jax.Array] = None,
     interpret: Optional[bool] = None,
+    mode: str = "auto",  # "auto" | "decode" | "prefill"
 ):
     """In-place append. Returns the updated (k_pool, v_pool[, k_s, v_s]) —
     the SAME buffers, donated and aliased. Quantization (int8/fp8 pools)
     happens in-kernel when scale pools are given.
 
-    Two shapes of use:
+    Three shapes of use:
     - decode: sq == 1, any positions (per-token window RMW)
     - prefill: b == 1, positions[0] aligned to the page size, sq padded to
       the value-window multiple (rows past the true length are dead)
+    - speculative verify (``mode="decode"``, sq > 1): batched multi-token
+      append at arbitrary unaligned positions — unrolled into sq per-token
+      window RMWs (sq is the small draft length, 2-8)
+    ``mode="auto"`` keeps the historical inference: sq > 1 means prefill.
     """
     if interpret is None:
         interpret = default_interpret()
@@ -318,6 +323,24 @@ def paged_append(
         v_new = v_new.astype(v_pool.dtype)
     elif k_scales.dtype != jnp.float32:
         raise ValueError("scale pools must be float32 (aliased in-place)")
+
+    if mode == "decode" and sq > 1:
+        # batched multi-token (speculative verify): sq per-token RMWs.
+        # Chained in-place aliasing — each call mutates the same buffers.
+        out = None
+        kp, vp, ks, vs = k_pool, v_pool, k_scales, v_scales
+        for i in range(sq):
+            out = paged_append(
+                kp, vp, k_new[:, i : i + 1], v_new[:, i : i + 1],
+                block_tables, positions + i,
+                k_scales=ks, v_scales=vs, layer_idx=layer_idx,
+                interpret=interpret, mode="decode",
+            )
+            if quant:
+                kp, vp, ks, vs = out
+            else:
+                kp, vp = out
+        return out
 
     prefill = sq > 1
     if prefill and b != 1:

@@ -25,7 +25,7 @@ from xf_flash_attention_cutlass_tpu.parallel.tp import (
     _local_cfg,
     param_partition_specs,
 )
-from xf_flash_attention_cutlass_tpu.serve.engine import decode_core
+from xf_flash_attention_cutlass_tpu.serve.engine import decode_core, verify_core
 
 
 def pool_partition_specs(pools: dict) -> dict:
@@ -73,6 +73,41 @@ def tp_decode_step(
         mesh=mesh,
         in_specs=(pspecs, P(), kspecs, P(), P()),
         out_specs=(P(), P(), kspecs),
+        check_vma=False,
+    )
+    return fn(params, tokens, pools, block_tables, kv_lens)
+
+
+def tp_verify_step(
+    params,
+    tokens,  # (b, L) int32, replicated — [last, draft_1, ..., draft_{L-1}]
+    pools,
+    block_tables,  # (b, max_pages) int32, replicated
+    kv_lens,  # (b,) int32, replicated — length AFTER this step (cur + L)
+    cfg: LlamaConfig,
+    mesh: Mesh,
+    quant: Optional[str] = None,
+    interpret: Optional[bool] = None,
+):
+    """Tensor-parallel speculative verification: the L-token analog of
+    tp_decode_step. Returns ((b, L, vocab) logits, pools) with pools still
+    sharded; the engine's acceptance rule runs on the gathered logits."""
+    pspecs = param_partition_specs(params)
+    kspecs = pool_partition_specs(pools)
+    tp_size = mesh.shape[TP]
+    lcfg = _local_cfg(cfg, tp_size)
+
+    fn = jax.shard_map(
+        functools.partial(
+            verify_core,
+            cfg=lcfg,
+            quant=quant,
+            interpret=interpret,
+            axis_name=TP,
+        ),
+        mesh=mesh,
+        in_specs=(pspecs, P(), kspecs, P(), P()),
+        out_specs=(P(), kspecs),
         check_vma=False,
     )
     return fn(params, tokens, pools, block_tables, kv_lens)

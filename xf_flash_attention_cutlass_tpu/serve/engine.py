@@ -154,80 +154,23 @@ def decode_core(
     top_k: int = 0,
     top_p: float = 0.0,
 ):
-    """One batched decode step. Returns (next_tokens, logits, pools).
-    Under shard_map, cfg must be the LOCAL config (parallel/tp.py) and the
-    pools this device's kv-head shard; logits come back vocab-gathered."""
-    b = tokens.shape[0]
-    L = pools["k"].shape[0]
-    x = params["embed"][jnp.clip(tokens, 0, cfg.vocab_size - 1)]
-    positions = jnp.maximum(kv_lens - 1, 0)[:, None]  # (b, 1)
-    cos, sin = rotary_frequencies(cfg.head_dim, cfg.max_seq_len, cfg.rope_base)
+    """One batched decode step = the L=1 case of verify_core, plus
+    sampling. Returns (next_tokens, logits, pools). Under shard_map, cfg
+    must be the LOCAL config (parallel/tp.py) and the pools this device's
+    kv-head shard; logits come back vocab-gathered.
 
-    # Pools ride the scan CARRY, updated by layer-indexed scatters, and the
-    # paged kernel selects the layer via layer_idx — as scan xs/ys the
-    # whole-stack pools would be copied every step (measured 15x slowdown).
-    layers_xs, layers_stacked = _split_layer_params(params["layers"])
-
-    def body(carry, xs):
-        layer_xs, l = xs
-        layer = _layer_view(layer_xs, layers_stacked, l)
-        if quant:
-            x, kp, vp, ks, vs = carry
-        else:
-            x, kp, vp = carry
-        q, k_new, v_new = _attn_qkv(layer, x, cfg, cos, sin, positions)
-        # inactive slots (kv_len 0) must have block-table rows pointing at
-        # the trash page (engine guarantees this) so the clamped write
-        # position 0 cannot corrupt live pages
-        append_pos = jnp.maximum(kv_lens - 1, 0)
-        if quant:
-            kp, vp, ks, vs = paged_append(
-                kp, vp, k_new, v_new, block_tables, append_pos,
-                k_scales=ks, v_scales=vs, layer_idx=l, interpret=interpret,
-            )
-            o, _ = paged_attention(
-                q, kp, vp, block_tables, kv_lens, causal=True,
-                k_scales=ks, v_scales=vs, layer_idx=l, interpret=interpret,
-            )
-        else:
-            kp, vp = paged_append(
-                kp, vp, k_new, v_new, block_tables, append_pos,
-                layer_idx=l, interpret=interpret,
-            )
-            o, _ = paged_attention(
-                q, kp, vp, block_tables, kv_lens, causal=True,
-                layer_idx=l, interpret=interpret,
-            )
-        o = o.reshape(b, 1, cfg.n_heads * cfg.head_dim)
-        partial = _proj(o, layer["wo"])
-        if axis_name is not None:
-            partial = jax.lax.psum(partial, axis_name)
-        x = x + partial
-        x = _mlp(layer, x, cfg, axis_name=axis_name)
-        carry = (x, kp, vp, ks, vs) if quant else (x, kp, vp)
-        return carry, None
-
-    carry0 = (
-        (x, pools["k"], pools["v"], pools["k_s"], pools["v_s"])
-        if quant
-        else (x, pools["k"], pools["v"])
+    Pools ride the layer scan CARRY inside verify_core, updated by the
+    in-place paged append with the paged kernel selecting layers via
+    layer_idx — as scan xs/ys the whole-stack pools would be copied every
+    step (measured 15x slowdown)."""
+    logits, pools = verify_core(
+        params, tokens, pools, block_tables, kv_lens, cfg, quant, interpret,
+        axis_name=axis_name,
     )
-    carry, _ = jax.lax.scan(
-        body, carry0, (layers_xs, jnp.arange(L, dtype=jnp.int32))
-    )
-    x = carry[0]
-    x = rms_norm(x, params["final_norm"], cfg.rms_eps)
-    logits = _proj(x[:, 0], params["lm_head"]).astype(jnp.float32)
-    if axis_name is not None:
-        # vocab-sharded head -> full logits on every device
-        logits = jax.lax.all_gather(logits, axis_name, axis=-1, tiled=True)
+    logits = logits[:, 0]
     next_tokens = sample_tokens(
         logits, temperature, sample_key, top_k=top_k, top_p=top_p
     )
-    if quant:
-        pools = dict(k=carry[1], v=carry[2], k_s=carry[3], v_s=carry[4])
-    else:
-        pools = dict(k=carry[1], v=carry[2])
     return next_tokens, logits, pools
 
 
@@ -261,6 +204,7 @@ def verify_core(
     cfg: LlamaConfig,
     quant: Optional[str] = None,
     interpret: Optional[bool] = None,
+    axis_name: Optional[str] = None,  # TP axis inside shard_map
 ):
     """Speculative-decoding verification: one batched multi-token step.
     Appends all L input tokens' KV and returns logits at every position
@@ -268,13 +212,25 @@ def verify_core(
     consuming inputs x_0..x_i. The engine accepts the longest draft prefix
     with d_i == g_{i-1} and truncates the cache past the accepted region
     (rejected-draft KV is garbage beyond kv_len and gets overwritten).
+
+    Greedy-exactness caveat: verify logits equal sequential decode logits
+    in exact arithmetic, and on identical pools the L=1 and L>1 kernels
+    were measured bitwise-identical on chip — but the bf16 activation
+    matmuls producing k/v round differently for (b, L) vs (b, 1) batch
+    shapes, so pool bytes (and thus argmax TIES on knife-edge logits,
+    e.g. degenerate repeating contexts on tiny random models) can flip
+    between the speculative and plain streams. Same caveat as every
+    production speculative-decoding implementation.
     """
     b, L = tokens.shape
     n_layers = pools["k"].shape[0]
     x = params["embed"][jnp.clip(tokens, 0, cfg.vocab_size - 1)]
-    positions = (kv_lens - L)[:, None] + jnp.arange(L, dtype=jnp.int32)[None]
     cos, sin = rotary_frequencies(cfg.head_dim, cfg.max_seq_len, cfg.rope_base)
+    # inactive slots (kv_len 0) must have block-table rows pointing at the
+    # trash page (engine guarantees this) so the clamped write position 0
+    # cannot corrupt live pages
     append_pos = jnp.maximum(kv_lens - L, 0)
+    positions = append_pos[:, None] + jnp.arange(L, dtype=jnp.int32)[None]
 
     layers_xs, layers_stacked = _split_layer_params(params["layers"])
 
@@ -290,6 +246,7 @@ def verify_core(
             kp, vp, ks, vs = paged_append(
                 kp, vp, k_new, v_new, block_tables, append_pos,
                 k_scales=ks, v_scales=vs, layer_idx=l, interpret=interpret,
+                mode="decode",
             )
             o, _ = paged_attention(
                 q, kp, vp, block_tables, kv_lens, causal=True,
@@ -298,15 +255,18 @@ def verify_core(
         else:
             kp, vp = paged_append(
                 kp, vp, k_new, v_new, block_tables, append_pos,
-                layer_idx=l, interpret=interpret,
+                layer_idx=l, interpret=interpret, mode="decode",
             )
             o, _ = paged_attention(
                 q, kp, vp, block_tables, kv_lens, causal=True,
                 layer_idx=l, interpret=interpret,
             )
         o = o.reshape(b, L, cfg.n_heads * cfg.head_dim)
-        x = x + _proj(o, layer["wo"])
-        x = _mlp(layer, x, cfg)
+        partial = _proj(o, layer["wo"])
+        if axis_name is not None:
+            partial = jax.lax.psum(partial, axis_name)
+        x = x + partial
+        x = _mlp(layer, x, cfg, axis_name=axis_name)
         carry = (x, kp, vp, ks, vs) if quant else (x, kp, vp)
         return carry, None
 
@@ -322,6 +282,9 @@ def verify_core(
     x = rms_norm(x, params["final_norm"], cfg.rms_eps)
     logits = _proj(x.reshape(b * L, -1), params["lm_head"])
     logits = logits.reshape(b, L, -1).astype(jnp.float32)
+    if axis_name is not None:
+        # vocab-sharded head -> full logits on every device
+        logits = jax.lax.all_gather(logits, axis_name, axis=-1, tiled=True)
     if quant:
         pools = dict(k=carry[1], v=carry[2], k_s=carry[3], v_s=carry[4])
     else:
