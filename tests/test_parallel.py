@@ -269,3 +269,71 @@ def test_tp_verify_matches_single(quant):
     assert max_err(logits, ref_logits) < 1e-4
     for name in pools:
         assert max_err(out_pools[name], ref_pools[name]) < 1e-5, name
+
+
+@pytest.mark.parametrize("quant", [None, "int8"])
+def test_tp_dp_decode_matches_single(quant):
+    """dp x tp serving decode == per-replica single-device decode: batch
+    and page pool split over dp, heads over tp, zero cross-dp traffic."""
+    from xf_flash_attention_cutlass_tpu.parallel.tp_serve import (
+        tp_dp_decode_step,
+    )
+    from xf_flash_attention_cutlass_tpu.quant import quantize_kv
+    from xf_flash_attention_cutlass_tpu.serve.engine import decode_step
+
+    cfg = LlamaConfig(
+        vocab_size=64, dim=64, n_layers=2, n_heads=4, n_kv_heads=2,
+        ffn_dim=96, max_seq_len=256,
+    )
+    params = init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    L, page = cfg.n_layers, 16
+    local_pages, dp = 8, 2
+    num_pages = dp * local_pages
+    b_local, mp = 2, 4
+    kpool = jax.random.normal(
+        jax.random.PRNGKey(1),
+        (L, num_pages, cfg.n_kv_heads, page, cfg.head_dim), jnp.float32,
+    )
+    vpool = jax.random.normal(jax.random.PRNGKey(2), kpool.shape, jnp.float32)
+    if quant:
+        kq, ks = quantize_kv(kpool, quant)
+        vq, vs = quantize_kv(vpool, quant)
+        pools = dict(k=kq, v=vq, k_s=ks[..., 0], v_s=vs[..., 0])
+    else:
+        pools = dict(k=kpool, v=vpool)
+    # dp-LOCAL page ids; global batch stacks the two replicas' requests
+    bt = jnp.asarray([[0, 1, 2, 3], [4, 5, 6, 7],
+                      [0, 1, 2, 3], [4, 5, 6, 7]], jnp.int32)
+    kv_lens = jnp.asarray([17, 40, 9, 33], jnp.int32)
+    tokens = jnp.asarray([[5], [9], [31], [2]], jnp.int32)
+
+    # reference: run each dp replica separately on its pool slice
+    ref_toks, ref_logits, ref_pools = [], [], []
+    for r in range(dp):
+        pr = {k: v[:, r * local_pages:(r + 1) * local_pages].copy()
+              for k, v in pools.items()}
+        t, lg, pp = decode_step(
+            params, tokens[r * b_local:(r + 1) * b_local], pr,
+            bt[r * b_local:(r + 1) * b_local],
+            kv_lens[r * b_local:(r + 1) * b_local], cfg, quant,
+        )
+        ref_toks.append(t); ref_logits.append(lg); ref_pools.append(pp)
+
+    mesh = make_mesh(dp=dp, tp=2, devices=_cpu_devices(4))
+    from xf_flash_attention_cutlass_tpu.parallel import shard_params
+    from jax.sharding import NamedSharding
+
+    sp = shard_params(params, mesh)
+    spools = {
+        k: jax.device_put(v, NamedSharding(
+            mesh, P(None, "dp", "tp", *([None] * (v.ndim - 3)))))
+        for k, v in pools.items()
+    }
+    tok, logits, out_pools = tp_dp_decode_step(
+        sp, tokens, spools, bt, kv_lens, cfg, mesh, quant
+    )
+    assert jnp.array_equal(tok, jnp.concatenate(ref_toks))
+    assert max_err(logits, jnp.concatenate(ref_logits)) < 1e-4
+    for name in pools:
+        want = jnp.concatenate([rp[name] for rp in ref_pools], axis=1)
+        assert max_err(out_pools[name], want) < 1e-5, name

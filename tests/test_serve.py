@@ -372,3 +372,24 @@ def test_engine_int8_weights_matches_naive_on_same_params():
     out = eng.run()
     # oracle: naive full-recompute forward with the SAME quantized params
     assert list(out[0]) == _naive_greedy(qparams, cfg, prompt, 5)
+
+
+def test_engine_stats():
+    """Serving observability counters (SURVEY §5: reference has none)."""
+    cfg, params = _tiny()
+    eng = DecodeEngine(params, cfg, EngineConfig(
+        max_batch=2, page_size=16, num_pages=24, speculate_k=3))
+    eng.add_request(0, [5, 9, 13, 7], max_new_tokens=6)
+    eng.add_request(1, [3, 3, 3, 3, 3], max_new_tokens=4)
+    eng.run()
+    s = eng.stats_summary()
+    assert s["requests_admitted"] == 2
+    assert s["requests_finished"] == 2
+    assert s["tokens_emitted"] == 10
+    assert s["spec_steps"] > 0
+    assert s["drafts_proposed"] >= s["drafts_accepted"] >= 0
+    assert 0.0 <= s["draft_acceptance"] <= 1.0
+    assert s["tokens_per_step"] >= 1.0
+    assert s["active_requests"] == 0 and s["queued_requests"] == 0
+    # all pages returned after retirement
+    assert s["page_utilization"] == 0.0

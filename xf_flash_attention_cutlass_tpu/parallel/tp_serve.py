@@ -111,3 +111,50 @@ def tp_verify_step(
         check_vma=False,
     )
     return fn(params, tokens, pools, block_tables, kv_lens)
+
+
+DP = "dp"
+
+
+def tp_dp_decode_step(
+    params,
+    tokens,  # (b, 1) int32 — batch sharded over "dp"
+    pools,  # (L, num_pages, h_k, page[, d]) — pages over "dp", kv-heads over "tp"
+    block_tables,  # (b, max_pages) int32, LOCAL page ids per dp shard
+    kv_lens,  # (b,) int32, sharded over "dp"
+    cfg: LlamaConfig,
+    mesh: Mesh,
+    quant: Optional[str] = None,
+    interpret: Optional[bool] = None,
+):
+    """Data-parallel x tensor-parallel decode: each dp replica serves its
+    own slice of the batch against its own slice of the page pool (block
+    tables hold dp-local page ids), while every replica's weights and KV
+    heads are tp-sharded. No cross-dp communication at all — dp scales
+    batch over hosts/DCN, tp rides ICI (SURVEY §2.5's target layout).
+
+    Returns (next_tokens, logits, pools): tokens/logits dp-sharded on
+    batch, pools still (dp, tp)-sharded.
+    """
+    pspecs = param_partition_specs(params)
+    kspecs = {
+        name: P(None, DP, TP, *([None] * (arr.ndim - 3)))
+        for name, arr in pools.items()
+    }
+    tp_size = mesh.shape[TP]
+    lcfg = _local_cfg(cfg, tp_size)
+
+    fn = jax.shard_map(
+        functools.partial(
+            decode_core,
+            cfg=lcfg,
+            quant=quant,
+            interpret=interpret,
+            axis_name=TP,
+        ),
+        mesh=mesh,
+        in_specs=(pspecs, P(DP), kspecs, P(DP), P(DP)),
+        out_specs=(P(DP), P(DP), kspecs),
+        check_vma=False,
+    )
+    return fn(params, tokens, pools, block_tables, kv_lens)

@@ -557,6 +557,13 @@ class DecodeEngine:
         # remainder); slot -> prefix_id for live requests
         self._prefixes: Dict[str, dict] = {}
         self._slot_prefix: Dict[int, str] = {}
+        # serving observability (SURVEY §5: the reference has none; a
+        # production engine needs at least these counters)
+        self.stats: Dict[str, int] = dict(
+            steps=0, decode_steps=0, spec_steps=0, prefill_chunks=0,
+            tokens_emitted=0, drafts_proposed=0, drafts_accepted=0,
+            requests_admitted=0, requests_finished=0, preemptions=0,
+        )
 
     def add_request(
         self,
@@ -706,6 +713,7 @@ class DecodeEngine:
             self.interpret,
         )
         st["done"] = done + n_valid
+        self.stats["prefill_chunks"] += 1
         if st["done"] < len(todo):
             return
         first = jnp.argmax(logits).astype(jnp.int32)
@@ -728,6 +736,8 @@ class DecodeEngine:
             prefix_id=st["prefix_id"],
         )
         self._prefill = None
+        self.stats["requests_admitted"] += 1
+        self.stats["tokens_emitted"] += 1  # prefill emits the first token
 
     def _admit_one(self) -> bool:
         rid, prompt, max_new, temp, prefix_id = self.queue[0]
@@ -771,6 +781,8 @@ class DecodeEngine:
             max_new=max_new,
             temperature=temp,
         )
+        self.stats["requests_admitted"] += 1
+        self.stats["tokens_emitted"] += 1  # prefill emits the first token
         return True
 
     def step(self) -> Dict[int, List[int]]:
@@ -805,16 +817,21 @@ class DecodeEngine:
                 self.pool.retire(slot)
                 self._slot_prefix.pop(slot, None)
                 del self.active[slot]
+                self.stats["requests_finished"] += 1
         if not self.active:
             return emitted
         # speculative decoding: greedy-only (acceptance is exact equality
         # with the target's argmax, so output is token-identical to plain
         # greedy decode regardless of draft quality)
+        self.stats["steps"] += 1
         if self.ecfg.speculate_k > 1 and all(
             st["temperature"] <= 0.0 for st in self.active.values()
         ):
+            self.stats["spec_steps"] += 1
             self._spec_decode(emitted)
+            self.stats["tokens_emitted"] += sum(len(v) for v in emitted.values())
             return emitted
+        self.stats["decode_steps"] += 1
         # grow each active sequence by one (the pending token's KV)
         for slot in list(self.active):
             if self.pool.extend(slot, 1) < 0:
@@ -828,6 +845,7 @@ class DecodeEngine:
                     (st["id"], st["prompt"] + st["generated"], remaining,
                      st["temperature"], st.get("prefix_id"))
                 )
+                self.stats["preemptions"] += 1
         if not self.active:
             return emitted
         bt, kv_lens, _ = self.pool.build_block_tables(self.ecfg.max_pages_per_seq)
@@ -871,6 +889,7 @@ class DecodeEngine:
             st["last_token"] = tok
             st["generated"].append(tok)
             emitted.setdefault(st["id"], []).append(tok)
+        self.stats["tokens_emitted"] += sum(len(v) for v in emitted.values())
         return emitted
 
     def _spec_decode(self, emitted: Dict[int, List[int]]) -> None:
@@ -890,6 +909,7 @@ class DecodeEngine:
                     (st["id"], st["prompt"] + st["generated"], remaining,
                      st["temperature"], st.get("prefix_id"))
                 )
+                self.stats["preemptions"] += 1
         if not self.active:
             return
         bt, kv_lens, _ = self.pool.build_block_tables(self.ecfg.max_pages_per_seq)
@@ -932,6 +952,8 @@ class DecodeEngine:
             # cache holds KV for [last] + accepted/kept drafts = len(out)
             # consumed inputs; positions past that are rejected-draft
             # garbage — return their pages
+            self.stats["drafts_proposed"] += L - 1
+            self.stats["drafts_accepted"] += max(len(out) - 1, 0)
             cur_before = int(kv_lens[slot]) - L
             self.pool.truncate(slot, cur_before + len(out))
             st["generated"].extend(out)
@@ -944,3 +966,21 @@ class DecodeEngine:
             self.step()
             steps += 1
         return self.results
+
+    def stats_summary(self) -> Dict[str, float]:
+        """Derived serving metrics from the raw counters in self.stats."""
+        s = self.stats
+        return dict(
+            s,
+            tokens_per_step=(
+                s["tokens_emitted"] / s["steps"] if s["steps"] else 0.0
+            ),
+            draft_acceptance=(
+                s["drafts_accepted"] / s["drafts_proposed"]
+                if s["drafts_proposed"]
+                else 0.0
+            ),
+            page_utilization=1.0 - self.pool.free_pages() / self.ecfg.num_pages,
+            active_requests=len(self.active),
+            queued_requests=len(self.queue),
+        )
