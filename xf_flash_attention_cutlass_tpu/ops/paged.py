@@ -21,8 +21,12 @@ Architecture (v2 — built for the HBM roofline):
 - Scalar-prefetched block table / lengths live in SMEM; dead pages are never
   fetched (loop bound = live page count, window start folded in).
 - Split-KV partials (fp32 O, LSE) are merged host-side by
-  ``combine_partials`` — on TPU splits buy Megacore parallelism when
-  batch is small.
+  ``combine_partials``. NB the grid is sequential (the cross-step DMA
+  handoff carries slot parity between steps) and v5e has a single
+  TensorCore, so splits do NOT buy core parallelism here; they bound
+  per-grid-step work and VMEM for very long contexts. Low-batch decode
+  keeps the HBM pipe busy through the in-step burst pipeline, not splits
+  (measured: b=1 / 32k ctx runs at the same roofline as b=64).
 - GQA decode swap: q is (b, kv_heads, group*sq, d); one batched MXU
   contraction per page serves every KV head (export.cpp:524-532's
   `seqlenq_ngroups_swapped`, as a free reshape).
@@ -146,13 +150,17 @@ def _paged_kernel(params: PagedParams, *refs):
 
     def dma(ib_, lo_, hi_, slot, i):
         """Async copies for burst i: pb logical pages -> one VMEM window.
-        Returns (k_side, v_side): K (+k-scales) copies are issued first and
-        waited before the QK^T dot; V (+v-scales) copies are only waited
-        after the softmax, so the V stream overlaps the score compute."""
+        Returns (k_side, v_side) lists of (live, copy): K (+k-scales) copies
+        are issued first and waited before the QK^T dot; V (+v-scales)
+        copies are only waited after the softmax, so the V stream overlaps
+        the score compute. `live` gates tail pages past the live range:
+        they are never fetched (measured 7-8% of HBM traffic on mixed-length
+        decode at pb=2 — fetching the clamped last page instead cost the
+        whole 0.88-vs-0.90 roofline gap; their columns are masked anyway,
+        so the stale window contents are dead)."""
         k_side, v_side = [], []
         for j in range(pb):
-            # tail pages past the live range re-fetch the last live page
-            # (cheap; their columns are masked out)
+            live = (lo_ + i * pb + j) < hi_ if j > 0 else None  # j=0 always
             pj = jnp.minimum(lo_ + i * pb + j, jnp.maximum(hi_ - 1, 0))
             pe = block_tables_ref[ib_, pj]
             if params.has_layer:
@@ -162,12 +170,12 @@ def _paged_kernel(params: PagedParams, *refs):
                 ksrc = k_hbm.at[pe]
                 vsrc = v_hbm.at[pe]
             sl = slice(j * page, (j + 1) * page)
-            k_side.append(
-                pltpu.make_async_copy(ksrc, k_buf.at[slot, :, sl], sems.at[slot, 0])
-            )
-            v_side.append(
-                pltpu.make_async_copy(vsrc, v_buf.at[slot, :, sl], sems.at[slot, 1])
-            )
+            k_side.append((live,
+                pltpu.make_async_copy(ksrc, k_buf.at[slot, :, sl], sems.at[slot, 0]),
+            ))
+            v_side.append((live,
+                pltpu.make_async_copy(vsrc, v_buf.at[slot, :, sl], sems.at[slot, 1]),
+            ))
             if params.kv_quant:
                 if params.has_layer:
                     kssrc = ks_hbm.at[lidx_ref[0], pe]
@@ -175,43 +183,66 @@ def _paged_kernel(params: PagedParams, *refs):
                 else:
                     kssrc = ks_hbm.at[pe]
                     vssrc = vs_hbm.at[pe]
-                k_side.append(
+                k_side.append((live,
                     pltpu.make_async_copy(
                         kssrc, ks_buf.at[slot, :, sl], sems.at[slot, 2]
-                    )
-                )
-                v_side.append(
+                    ),
+                ))
+                v_side.append((live,
                     pltpu.make_async_copy(
                         vssrc, vs_buf.at[slot, :, sl], sems.at[slot, 3]
-                    )
-                )
+                    ),
+                ))
         return k_side, v_side
 
     def dma_all(ib_, lo_, hi_, slot, i):
         k_side, v_side = dma(ib_, lo_, hi_, slot, i)
         return k_side + v_side
 
+    def start_all(pairs):
+        # issue and wait sites must agree on the live condition so every
+        # started copy is waited exactly once
+        for live, c in pairs:
+            if live is None:
+                c.start()
+            else:
+                pl.when(live)(c.start)
+
+    def wait_all(pairs):
+        for live, c in pairs:
+            if live is None:
+                c.wait()
+            else:
+                pl.when(live)(c.wait)
+
     is_first = jnp.logical_and(ib == 0, isplit == 0)
 
     @pl.when(is_first)
     def _reset_parity():
         slot_state[0] = 0
+        # Dead tail pages are never fetched (see dma), and their masked
+        # columns contribute p=0 · v — safe for any FINITE stale v, but a
+        # never-written scratch window could hold NaN payloads (0·NaN=NaN).
+        # One memset on the first grid step makes every later stale read
+        # previously-fetched finite data. K-side buffers need none: scores
+        # are masked to NEG_INF after every K/k-scale use.
+        v_buf[...] = jnp.zeros_like(v_buf)
+        if params.kv_quant:
+            vs_buf[...] = jnp.zeros_like(vs_buf)
 
     s0 = slot_state[0]
 
     @pl.when(jnp.logical_and(is_first, n_pages > 0))
     def _self_issue():
         # only the very first grid step has no predecessor to prefetch it
-        for c in dma_all(ib, lo, hi, 0, 0):
-            c.start()
+        start_all(dma_all(ib, lo, hi, 0, 0))
 
     def handoff():
         # issue the NEXT grid step's burst 0 so it streams during the rest
         # of this step's compute (kills the per-step pipeline bubble)
         @pl.when(jnp.logical_and(has_next, n_pages2 > 0))
         def _():
-            for c in dma_all(ib2, lo2, hi2, (s0 + n_bursts) % 2, 0):
-                c.start()
+            start_all(dma_all(ib2, lo2, hi2, (s0 + n_bursts) % 2, 0))
 
     @pl.when(n_pages == 0)
     def _empty_handoff():
@@ -249,16 +280,14 @@ def _paged_kernel(params: PagedParams, *refs):
 
             @pl.when(i + 1 < n_bursts)
             def _prefetch():
-                for c in dma_all(ib, lo, hi, (s0 + i + 1) % 2, i + 1):
-                    c.start()
+                start_all(dma_all(ib, lo, hi, (s0 + i + 1) % 2, i + 1))
 
             @pl.when(i + 1 == n_bursts)
             def _handoff():
                 handoff()
 
             k_side, v_side = dma(ib, lo, hi, slot, i)
-            for c in k_side:
-                c.wait()
+            wait_all(k_side)
 
             kv_start = (lo + i * pb) * page
             kcol = kv_start + col_i
@@ -323,8 +352,7 @@ def _paged_kernel(params: PagedParams, *refs):
             )
             # V (+v-scales) only becomes a dependency here: its DMA streamed
             # behind K during the score/softmax work above
-            for c in v_side:
-                c.wait()
+            wait_all(v_side)
             v = v_buf[slot]
             if params.kv_quant:
                 # v's per-token scale rides on p (cols axis), not on v
@@ -436,9 +464,17 @@ def paged_attention(
     block_tables = block_tables.astype(jnp.int32)
 
     if num_splits <= 0:
-        # fill both Megacore cores when the batch alone cannot (the TPU
-        # analog of num_splits_heuristic, /root/reference/csrc/paged_attn.cpp:128-163)
-        num_splits = 2 if b < 2 and max_pages >= 2 else 1
+        # The reference's num_splits_heuristic searches split counts for SM
+        # wave efficiency (/root/reference/csrc/paged_attn.cpp:128-163)
+        # because its combine runs on idle CTAs. The v5e analog is a no-op:
+        # ONE TensorCore, and the in-kernel burst pipeline already keeps
+        # the HBM pipe busy at any batch (measured, fp8 paged decode:
+        # b=1/32k ctx 0.92 of roofline with 1 split vs 0.91 with 4;
+        # b=64/1.5k 0.93 — splitting only adds combine traffic). Splits
+        # remain available for explicit use (combine testing, multi-core
+        # parts: on a 2-core v4/v5p a batch-parallel grid would want
+        # batch*splits >= 2).
+        num_splits = 1
     num_splits = max(1, min(num_splits, max_pages))
     pps = cdiv(max_pages, num_splits)
 

@@ -158,13 +158,20 @@ def timed_scan(
     # constant's run-to-run variance (min-of-3 per length) stays small
     # relative to the span. The calibration itself is a small slope so the
     # constant does not inflate the step estimate.
-    cal1, cal2 = make(4), make(12)
+    #
+    # The slope estimate MUST be clamped hard: the constant's run-to-run
+    # swing can exceed the calibration span, making (t2 - t1) ~ 0 or
+    # negative — an unclamped est then explodes n2 into a multi-minute
+    # scan whose single RPC blows the tunnel deadline and KILLS the TPU
+    # worker ("TPU worker process crashed or restarted", reproduced on
+    # four separate benches in round 2).
+    cal1, cal2 = make(4), make(44)
     t1 = timed(cal1, warm=True)
     t2 = timed(cal2, warm=True)
-    est = max((t2 - t1) / 8, 1e-7)
+    est = max((t2 - t1) / 40, 1e-6)
     n1 = 4
-    n2 = n1 + max(8, int(target_seconds / est) + 1)
-    run2 = cal2 if n2 == 12 else make(n2)
+    n2 = n1 + min(max(8, int(target_seconds / est) + 1), 2000)
+    run2 = cal2 if n2 == 44 else make(n2)
     if run2 is not cal2:
         fetch(run2(x0, *args))  # compile
     trials = []
