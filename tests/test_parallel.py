@@ -337,3 +337,270 @@ def test_tp_dp_decode_matches_single(quant):
     for name in pools:
         want = jnp.concatenate([rp[name] for rp in ref_pools], axis=1)
         assert max_err(out_pools[name], want) < 1e-5, name
+
+
+# ---- differentiable context parallelism (ring + Ulysses custom VJPs) ----
+
+
+def _cp_grad_ref(q, k, v, causal):
+    """Single-device autodiff through the flash custom-VJP."""
+    from xf_flash_attention_cutlass_tpu.ops.flash import flash_attention
+
+    def loss(q, k, v):
+        o, _ = flash_attention(q, k, v, causal=causal)
+        return jnp.sum(jnp.sin(o.astype(jnp.float32)))
+
+    return jax.value_and_grad(loss, argnums=(0, 1, 2))(q, k, v)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_ring_attention_grad_matches_dense(causal):
+    n = 4
+    mesh = make_mesh(cp=n, devices=_cpu_devices(n))
+    b, h, s_local, d = 1, 2, 64, 64
+    s = s_local * n
+    q = jax.random.normal(jax.random.PRNGKey(1), (b, h, s, d), jnp.float32)
+    k = jax.random.normal(jax.random.PRNGKey(2), (b, h, s, d), jnp.float32)
+    v = jax.random.normal(jax.random.PRNGKey(3), (b, h, s, d), jnp.float32)
+    ref_loss, ref_grads = _cp_grad_ref(q, k, v, causal)
+
+    def local_loss(q, k, v):
+        from xf_flash_attention_cutlass_tpu.models.llama import scale_grad
+
+        o, _ = ring_attention(q, k, v, "cp", causal=causal)
+        # replicated scalar must pass through a collective under
+        # check_vma=False (CLAUDE.md); the psum's transpose hands every
+        # device the full cotangent, n-fold overcounting grads of a
+        # custom-VJP region that already returns COMPLETE per-shard grads
+        # -> scale_grad(1/n), the same fix as the vocab all_gather
+        # (models/llama.py scale_grad docstring)
+        loss = jax.lax.psum(jnp.sum(jnp.sin(o.astype(jnp.float32))), "cp")
+        return scale_grad(loss, 1.0 / jax.lax.axis_size("cp"))
+
+    ring_vg = jax.jit(
+        jax.shard_map(
+            jax.value_and_grad(local_loss, argnums=(0, 1, 2)),
+            mesh=mesh,
+            in_specs=(P(None, None, "cp", None),) * 3,
+            out_specs=(P(), (P(None, None, "cp", None),) * 3),
+            check_vma=False,
+        )
+    )
+    loss, grads = ring_vg(q, k, v)
+    assert abs(float(loss) - float(ref_loss)) < 1e-4
+    for g, g_ref in zip(grads, ref_grads):
+        assert max_err(g, g_ref) < 1e-4
+
+
+def test_ring_attention_grad_gqa():
+    n = 4
+    mesh = make_mesh(cp=n, devices=_cpu_devices(n))
+    b, h, h_k, s_local, d = 1, 4, 2, 32, 64
+    s = s_local * n
+    q = jax.random.normal(jax.random.PRNGKey(1), (b, h, s, d), jnp.float32)
+    k = jax.random.normal(jax.random.PRNGKey(2), (b, h_k, s, d), jnp.float32)
+    v = jax.random.normal(jax.random.PRNGKey(3), (b, h_k, s, d), jnp.float32)
+    ref_loss, ref_grads = _cp_grad_ref(q, k, v, True)
+
+    def local_loss(q, k, v):
+        from xf_flash_attention_cutlass_tpu.models.llama import scale_grad
+
+        o, _ = ring_attention(q, k, v, "cp", causal=True)
+        loss = jax.lax.psum(jnp.sum(jnp.sin(o.astype(jnp.float32))), "cp")
+        return scale_grad(loss, 1.0 / jax.lax.axis_size("cp"))
+
+    ring_vg = jax.jit(
+        jax.shard_map(
+            jax.value_and_grad(local_loss, argnums=(0, 1, 2)),
+            mesh=mesh,
+            in_specs=(P(None, None, "cp", None),) * 3,
+            out_specs=(P(), (P(None, None, "cp", None),) * 3),
+            check_vma=False,
+        )
+    )
+    loss, grads = ring_vg(q, k, v)
+    assert abs(float(loss) - float(ref_loss)) < 1e-4
+    for g, g_ref in zip(grads, ref_grads):
+        assert max_err(g, g_ref) < 1e-4
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_ulysses_attention_grad_matches_dense(causal):
+    from xf_flash_attention_cutlass_tpu.parallel.ulysses import ulysses_attention
+
+    n = 4
+    mesh = make_mesh(cp=n, devices=_cpu_devices(n))
+    b, h, s_local, d = 1, 4, 32, 64
+    s = s_local * n
+    q = jax.random.normal(jax.random.PRNGKey(1), (b, h, s, d), jnp.float32)
+    k = jax.random.normal(jax.random.PRNGKey(2), (b, h, s, d), jnp.float32)
+    v = jax.random.normal(jax.random.PRNGKey(3), (b, h, s, d), jnp.float32)
+    ref_loss, ref_grads = _cp_grad_ref(q, k, v, causal)
+
+    def local_loss(q, k, v):
+        from xf_flash_attention_cutlass_tpu.models.llama import scale_grad
+
+        o, _ = ulysses_attention(q, k, v, "cp", causal=causal)
+        loss = jax.lax.psum(jnp.sum(jnp.sin(o.astype(jnp.float32))), "cp")
+        return scale_grad(loss, 1.0 / jax.lax.axis_size("cp"))
+
+    uly_vg = jax.jit(
+        jax.shard_map(
+            jax.value_and_grad(local_loss, argnums=(0, 1, 2)),
+            mesh=mesh,
+            in_specs=(P(None, None, "cp", None),) * 3,
+            out_specs=(P(), (P(None, None, "cp", None),) * 3),
+            check_vma=False,
+        )
+    )
+    loss, grads = uly_vg(q, k, v)
+    assert abs(float(loss) - float(ref_loss)) < 1e-4
+    for g, g_ref in zip(grads, ref_grads):
+        assert max_err(g, g_ref) < 1e-4
+
+
+def test_ulysses_attention_grad_gqa_fewkv():
+    """GQA with h_k < n devices: the all-gather + take fallback path."""
+    from xf_flash_attention_cutlass_tpu.parallel.ulysses import ulysses_attention
+
+    n = 4
+    mesh = make_mesh(cp=n, devices=_cpu_devices(n))
+    b, h, h_k, s_local, d = 1, 8, 2, 32, 64
+    s = s_local * n
+    q = jax.random.normal(jax.random.PRNGKey(1), (b, h, s, d), jnp.float32)
+    k = jax.random.normal(jax.random.PRNGKey(2), (b, h_k, s, d), jnp.float32)
+    v = jax.random.normal(jax.random.PRNGKey(3), (b, h_k, s, d), jnp.float32)
+    ref_loss, ref_grads = _cp_grad_ref(q, k, v, True)
+
+    def local_loss(q, k, v):
+        from xf_flash_attention_cutlass_tpu.models.llama import scale_grad
+
+        o, _ = ulysses_attention(q, k, v, "cp", causal=True)
+        loss = jax.lax.psum(jnp.sum(jnp.sin(o.astype(jnp.float32))), "cp")
+        return scale_grad(loss, 1.0 / jax.lax.axis_size("cp"))
+
+    uly_vg = jax.jit(
+        jax.shard_map(
+            jax.value_and_grad(local_loss, argnums=(0, 1, 2)),
+            mesh=mesh,
+            in_specs=(P(None, None, "cp", None),) * 3,
+            out_specs=(P(), (P(None, None, "cp", None),) * 3),
+            check_vma=False,
+        )
+    )
+    loss, grads = uly_vg(q, k, v)
+    assert abs(float(loss) - float(ref_loss)) < 1e-4
+    for g, g_ref in zip(grads, ref_grads):
+        assert max_err(g, g_ref) < 1e-4
+
+
+# ---- TP-sharded DecodeEngine end-to-end (BASELINE config 5) --------------
+
+
+@pytest.mark.parametrize("quant", [None, "int8"])
+def test_tp_engine_token_identical(quant):
+    """DecodeEngine(mesh=tp2) — chunked prefill, batched lanes, decode —
+    must emit token-identical streams to the single-device engine."""
+    from xf_flash_attention_cutlass_tpu.serve import DecodeEngine, EngineConfig
+
+    cfg, params = _tiny()  # n_heads=4, n_kv_heads=4
+    mesh = make_mesh(tp=2, devices=_cpu_devices(2))
+    ecfg = EngineConfig(
+        max_batch=4, page_size=16, num_pages=64, max_seq=256,
+        prefill_chunk=32, prefill_lanes=2, kv_quant=quant,
+    )
+    prompts = {
+        0: [(7 * i + 3) % cfg.vocab_size for i in range(41)],
+        1: [5, 9, 2],
+        2: [(3 * i + 11) % cfg.vocab_size for i in range(17)],
+    }
+
+    def run(mesh_arg):
+        eng = DecodeEngine(
+            params, cfg, ecfg, dtype=jnp.float32, mesh=mesh_arg
+        )
+        for rid, p in prompts.items():
+            eng.add_request(rid, p, 5)
+        return eng.run()
+
+    ref = run(None)
+    out = run(mesh)
+    for rid in prompts:
+        assert list(out[rid]) == list(ref[rid]), rid
+
+
+def test_tp_engine_speculative_token_identical():
+    """TP engine with speculative decoding == single-device engine."""
+    from xf_flash_attention_cutlass_tpu.serve import DecodeEngine, EngineConfig
+
+    cfg, params = _tiny()
+    mesh = make_mesh(tp=2, devices=_cpu_devices(2))
+    ecfg = EngineConfig(
+        max_batch=2, page_size=16, num_pages=64, max_seq=256,
+        prefill_chunk=32, speculate_k=3,
+    )
+    prompt = [(5 * i + 2) % cfg.vocab_size for i in range(23)]
+
+    def run(mesh_arg):
+        eng = DecodeEngine(
+            params, cfg, ecfg, dtype=jnp.float32, mesh=mesh_arg
+        )
+        eng.add_request(0, prompt, 6)
+        return eng.run()
+
+    assert list(run(mesh)[0]) == list(run(None)[0])
+
+
+def test_tp_engine_requires_chunked_prefill():
+    from xf_flash_attention_cutlass_tpu.serve import DecodeEngine, EngineConfig
+
+    cfg, params = _tiny()
+    mesh = make_mesh(tp=2, devices=_cpu_devices(2))
+    with pytest.raises(ValueError):
+        DecodeEngine(
+            params, cfg,
+            EngineConfig(max_batch=2, page_size=16, num_pages=32, max_seq=64),
+            dtype=jnp.float32, mesh=mesh,
+        )
+
+
+def test_tp_decode_sp_batch_matches_psum():
+    """The reduce-scatter + all-gather collective structure (sp_batch) must
+    be numerically equivalent to the per-layer psums (same sums, different
+    schedule) and to the single-device step."""
+    from xf_flash_attention_cutlass_tpu.parallel.tp_serve import (
+        shard_pools,
+        tp_decode_step,
+    )
+    from xf_flash_attention_cutlass_tpu.parallel import shard_params
+    from xf_flash_attention_cutlass_tpu.serve.engine import decode_step
+
+    cfg = LlamaConfig(
+        vocab_size=64, dim=64, n_layers=2, n_heads=4, n_kv_heads=2,
+        ffn_dim=96, max_seq_len=256,
+    )
+    params = init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    L, num_pages, page = cfg.n_layers, 8, 16
+    kpool = jax.random.normal(
+        jax.random.PRNGKey(1),
+        (L, num_pages, cfg.n_kv_heads, page, cfg.head_dim), jnp.float32,
+    )
+    vpool = jax.random.normal(jax.random.PRNGKey(2), kpool.shape, jnp.float32)
+    pools = dict(k=kpool, v=vpool)
+    bt = jnp.asarray([[0, 1, 2, 3], [4, 5, 6, 7]], jnp.int32)
+    kv_lens = jnp.asarray([17, 40], jnp.int32)
+    tokens = jnp.asarray([[5], [9]], jnp.int32)
+
+    ref_tok, ref_logits, _ = decode_step(
+        params, tokens, {k: v.copy() for k, v in pools.items()}, bt, kv_lens,
+        cfg, None,
+    )
+
+    mesh = make_mesh(tp=2, devices=_cpu_devices(2))
+    sp = shard_params(params, mesh)
+    tok, logits, _ = tp_decode_step(
+        sp, tokens, shard_pools(dict(pools), mesh), bt, kv_lens, cfg, mesh,
+        None, sp_batch=True,
+    )
+    assert max_err(logits, ref_logits) < 1e-4
+    assert jnp.array_equal(tok, ref_tok)

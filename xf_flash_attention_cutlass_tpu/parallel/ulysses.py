@@ -28,7 +28,7 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from xf_flash_attention_cutlass_tpu.ops.flash_fwd import flash_fwd
+from xf_flash_attention_cutlass_tpu.ops.flash import flash_attention
 
 
 def ulysses_attention(
@@ -71,7 +71,7 @@ def ulysses_attention(
         kh = jnp.take(kh, head_idx, axis=1)
         vh = jnp.take(vh, head_idx, axis=1)
 
-    o_h, lse_h = flash_fwd(
+    o_h, lse_h = flash_attention(
         qh,
         kh,
         vh,
