@@ -137,3 +137,24 @@ def test_grad_alibi():
     gr = jax.grad(loss_ref, (0, 1, 2))(q, k, v)
     for a, b2 in zip(gi, gr):
         assert max_err(a, b2) < 5e-4
+
+
+@pytest.mark.parametrize("causal,h,h_k", [(False, 4, 4), (True, 4, 2)])
+def test_fused_bwd_matches_twopass(causal, h, h_k):
+    """The reference-style fused single-pass backward (5 block-GEMMs,
+    flash_bwd_kernel.h:437-651) must match the default two-pass split
+    exactly — same math, different schedule. (On v5e the two-pass is the
+    FASTER one, measured; fused stays as the parity implementation.)"""
+    from xf_flash_attention_cutlass_tpu.ops.flash_bwd import flash_bwd
+    from xf_flash_attention_cutlass_tpu.ops.flash_fwd import flash_fwd
+
+    ks = jax.random.split(jax.random.PRNGKey(3), 4)
+    q = jax.random.normal(ks[0], (2, h, 256, 64), jnp.float32)
+    k = jax.random.normal(ks[1], (2, h_k, 320, 64), jnp.float32)
+    v = jax.random.normal(ks[2], (2, h_k, 320, 64), jnp.float32)
+    do = jax.random.normal(ks[3], (2, h, 256, 64), jnp.float32)
+    o, lse = flash_fwd(q, k, v, causal=causal)
+    g2 = flash_bwd(q, k, v, o, lse, do, causal=causal, fused=False)
+    g1 = flash_bwd(q, k, v, o, lse, do, causal=causal, fused=True)
+    for a, b in zip(g1, g2):
+        assert float(jnp.max(jnp.abs(a - b))) < 1e-5

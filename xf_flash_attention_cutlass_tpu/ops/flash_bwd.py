@@ -8,13 +8,25 @@ TPU re-design of the reference's (compiled-out) recompute backward
   dS = P ∘ (dP - Δ)           with Δ = rowsum(dO ∘ O)   (bwd_preprocess)
   dQ = (dS·scale) · K,  dK = (dS·scale)ᵀ · Q,  dV = Pᵀ · dO
 
-Instead of the reference's single seq-parallel kernel with atomicAdd dQ
-(flash_bwd_kernel.h:629-635), we use the TPU-idiomatic two-pass split:
+Default path: the TPU-idiomatic two-pass split
  - dQ kernel:  grid (b, h, q_block, kv_block); dQ accumulates in an fp32
    output block held in VMEM across the inner KV dimension (no atomics).
- - dKV kernel: grid (b, kv_head, kv_block, group, q_block); dK/dV accumulate
-   across both the GQA group and the q-block dims, so MQA/GQA head-summing
-   (export.cpp:1164-1168) happens in-kernel with no extra HBM traffic.
+ - dKV kernel: grid (b, kv_head, kv_block, group, q_block); dK/dV
+   accumulate across both the GQA group and the q-block dims, so MQA/GQA
+   head-summing (export.cpp:1164-1168) happens in-kernel with no extra
+   HBM traffic.
+A reference-style FUSED single pass (``fused=True``) also exists: grid
+(b, kv_head, group, q_block, kv_block), S/dP recomputed once per block
+pair, dK/dV accumulated into full-sequence VMEM-resident output blocks
+written to HBM once per (batch, kv_head) — 5 block-GEMMs per pair vs the
+two-pass's 7. Measured on v5e (32 heads, d=128, causal, seq 4k/8k,
+bitwise-identical grads): the fused pass is ~20% SLOWER in wall time
+despite 29% fewer MXU flops — the two-pass kernels execute at ~0.87 of
+MXU peak (Mosaic pipelines their streaming inputs perfectly), while the
+fused kernel's resident accumulators + dynamic-slice read-modify-writes
+stall the pipeline. The reference's fused design (flash_bwd_kernel.h)
+is the right shape for CUDA shared memory, not for the Mosaic pipeline;
+two-pass is the default here on measurement, not convenience.
 Unlike the reference, all head dims are enabled (it only wired hdim128,
 flash_bwd_launch_template.h:256-258).
 
@@ -137,6 +149,77 @@ def _recompute_p_ds(params, seq_k_padded, q, k, v, do, lse_row, delta_row,
     return p_dv, ds * params.scale
 
 
+def _bwd_fused_kernel(params: FlashParams, seq_k_padded: int, group: int, *refs):
+    """One-pass backward (the TPU analog of the reference's fused kernel,
+    flash_bwd_kernel.h:437-651): grid (b, h_k, group, q_block, kv_block),
+    S/dP recomputed ONCE per block pair, all three grads emitted.
+
+    dQ accumulates in its (bq, d) output block across the inner kv dim;
+    dK/dV accumulate into full-sequence output blocks whose index map is
+    constant across (group, q_block, kv_block), so they stay VMEM-resident
+    for the whole nest and hit HBM once per (batch, kv_head) — GQA head
+    summing included."""
+    it = iter(refs)
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref = (next(it) for _ in range(6))
+    alibi_ref = next(it) if params.has_alibi else None
+    kv_lens_ref = next(it) if params.has_kv_lens else None
+    qseg_ref = next(it) if params.has_segments else None
+    kseg_ref = next(it) if params.has_segments else None
+    qpos_ref = next(it) if params.has_positions else None
+    kpos_ref = next(it) if params.has_positions else None
+    seed_ref = next(it) if params.dropout_p > 0.0 else None
+    dq_ref = next(it)  # (1, 1, bq, d)
+    dk_ref = next(it)  # (1, 1, sk_pad, d) — resident across (ig, iq, ik)
+    dv_ref = next(it)
+
+    ib = pl.program_id(0)
+    ihk = pl.program_id(1)
+    ig = pl.program_id(2)
+    iq = pl.program_id(3)
+    ik = pl.program_id(4)
+    nq = pl.num_programs(3)
+    nk = pl.num_programs(4)
+    h_all = pl.num_programs(1) * group
+    ih = ihk * group + ig  # q-head index (dropout replay parity with fwd)
+    bk = params.block_k
+
+    @pl.when(ik == 0)
+    def _init_dq():
+        dq_ref[...] = jnp.zeros_like(dq_ref)
+
+    @pl.when(jnp.logical_and(ig == 0, jnp.logical_and(iq == 0, ik == 0)))
+    def _init_dkv():
+        dk_ref[...] = jnp.zeros_like(dk_ref)
+        dv_ref[...] = jnp.zeros_like(dv_ref)
+
+    live = _block_live(params, ib, iq, ik, qpos_ref, kpos_ref, kv_lens_ref)
+
+    @pl.when(live)
+    def _body():
+        qpos, kpos, kcol = _positions(params, iq, ik, qpos_ref, kpos_ref)
+        p_dv, ds = _recompute_p_ds(
+            params, seq_k_padded,
+            q_ref[0, 0], k_ref[0, 0], v_ref[0, 0], do_ref[0, 0],
+            lse_ref[0, 0], delta_ref[0, 0],
+            qpos, kpos, kcol, alibi_ref, qseg_ref, kseg_ref, kv_lens_ref,
+            seed_ref, ib, ih, iq, ik, nq, nk, h_all,
+        )
+        dq_ref[0, 0] += jax.lax.dot_general(
+            ds.astype(k_ref.dtype), k_ref[0, 0],
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+        col = pl.multiple_of(ik * bk, bk)
+        # dV += Pᵀ · dO ; dK += dSᵀ · Q into the resident full-seq buffers
+        dv_ref[0, 0, pl.ds(col, bk), :] += jax.lax.dot_general(
+            p_dv.astype(do_ref.dtype), do_ref[0, 0],
+            (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+        dk_ref[0, 0, pl.ds(col, bk), :] += jax.lax.dot_general(
+            ds.astype(q_ref.dtype), q_ref[0, 0],
+            (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+
+
 def _dq_kernel(params: FlashParams, seq_k_padded: int, *refs):
     it = iter(refs)
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref = (next(it) for _ in range(6))
@@ -249,6 +332,7 @@ def flash_bwd(
     block_q: Optional[int] = None,
     block_k: Optional[int] = None,
     interpret: Optional[bool] = None,
+    fused: Optional[bool] = None,  # None = two-pass (measured faster on v5e)
 ):
     """Returns (dq, dk, dv) in the input dtypes/shapes."""
     if interpret is None:
@@ -367,6 +451,53 @@ def flash_bwd(
         return specs, extra
 
     base_inputs = [qp, kp, vp, dop, lsep, deltap]
+
+    # ---- fused one-pass kernel (opt-in; measured slower, see docstring) --
+    if fused is None:
+        fused = False
+    fused = fused and 2 * sk_pad * d_pad * 4 <= 48 * 1024 * 1024
+    if fused:
+        specs, extra = common_specs(
+            hmap=lambda ib, ihk, ig, iq, ik: ihk * group + ig,
+            qblk=lambda ib, ihk, ig, iq, ik: iq,
+            kblk=lambda ib, ihk, ig, iq, ik: ik,
+        )
+        dq, dk, dv = pl.pallas_call(
+            functools.partial(_bwd_fused_kernel, params, sk_pad, group),
+            grid=(b, h_k, group, sq_pad // bq, sk_pad // bk),
+            in_specs=specs,
+            out_specs=[
+                pl.BlockSpec(
+                    (1, 1, bq, d_pad),
+                    lambda ib, ihk, ig, iq, ik: (ib, ihk * group + ig, iq, 0),
+                ),
+                pl.BlockSpec(
+                    (1, 1, sk_pad, d_pad),
+                    lambda ib, ihk, ig, iq, ik: (ib, ihk, 0, 0),
+                ),
+                pl.BlockSpec(
+                    (1, 1, sk_pad, d_pad),
+                    lambda ib, ihk, ig, iq, ik: (ib, ihk, 0, 0),
+                ),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((b, h, sq_pad, d_pad), jnp.float32),
+                jax.ShapeDtypeStruct((b, h_k, sk_pad, d_pad), jnp.float32),
+                jax.ShapeDtypeStruct((b, h_k, sk_pad, d_pad), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=(
+                    "parallel", "parallel", "arbitrary", "arbitrary",
+                    "arbitrary",
+                ),
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+            interpret=interpret,
+        )(*base_inputs, *extra)
+        dq = dq[:, :, :sq, :d].astype(in_dtypes[0])
+        dk = dk[:, :, :sk, :d].astype(in_dtypes[1])
+        dv = dv[:, :, :sk, :d].astype(in_dtypes[2])
+        return dq, dk, dv
 
     # ---- dQ pass: grid (b, h, iq, ik) ----------------------------------
     specs, extra = common_specs(
