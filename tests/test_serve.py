@@ -393,3 +393,52 @@ def test_engine_stats():
     assert s["active_requests"] == 0 and s["queued_requests"] == 0
     # all pages returned after retirement
     assert s["page_utilization"] == 0.0
+
+
+def test_engine_batched_prefill_lanes_token_exact():
+    """8 simultaneous admissions through 4 prefill lanes (one batched
+    chunk step advances every lane) must match naive greedy decoding
+    token-for-token for every request — admission bursts must not
+    serialize behind one long prompt."""
+    cfg, params = _tiny()
+    ecfg = EngineConfig(
+        max_batch=8, page_size=16, num_pages=128, max_seq=256,
+        prefill_chunk=32, prefill_lanes=4,
+    )
+    eng = DecodeEngine(params, cfg, ecfg, dtype=jnp.float32)
+    prompts = {
+        rid: [(7 * i + 3 * rid + 5) % cfg.vocab_size for i in range(9 + 13 * rid)]
+        for rid in range(8)
+    }
+    for rid, p in prompts.items():
+        eng.add_request(rid, p, 4)
+    out = eng.run()
+    for rid, p in prompts.items():
+        assert list(out[rid]) == _naive_greedy(params, cfg, p, 4), rid
+    # >1 admission per prefill phase actually happened
+    assert eng.stats["requests_admitted"] == 8
+
+
+def test_engine_prefill_lanes_with_prefix_and_spec():
+    """Lanes compose with prefix caching + speculative decode."""
+    cfg, params = _tiny()
+    ecfg = EngineConfig(
+        max_batch=4, page_size=16, num_pages=128, max_seq=256,
+        prefill_chunk=16, prefill_lanes=2, speculate_k=3,
+    )
+    eng = DecodeEngine(params, cfg, ecfg, dtype=jnp.float32)
+    prefix = [(3 * i + 1) % cfg.vocab_size for i in range(16)]
+    eng.register_prefix("sys", prefix)
+    prompts = {
+        0: [5, 9, 2, 44],
+        1: [(5 * i + 2) % cfg.vocab_size for i in range(21)],
+        2: [7, 7, 7],
+    }
+    for rid in (0, 1):
+        eng.add_request(rid, prompts[rid], 5, prefix_id="sys")
+    eng.add_request(2, prompts[2], 5)
+    out = eng.run()
+    for rid in (0, 1):
+        full = prefix + prompts[rid]
+        assert list(out[rid]) == _naive_greedy(params, cfg, full, 5), rid
+    assert list(out[2]) == _naive_greedy(params, cfg, prompts[2], 5)

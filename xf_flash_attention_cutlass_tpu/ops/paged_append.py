@@ -167,11 +167,15 @@ def _prefill_append_kernel(
     qmax: float,
     *refs,
 ):
+    """Grid (b, n_chunks): each step writes one request-row's chunk of
+    whole aligned windows. b > 1 serves the engine's batched chunked
+    prefill — rows are independent requests with their own block tables
+    and (window-aligned) insert positions."""
     it = iter(refs)
-    bt_ref = next(it)
-    pos_ref = next(it)  # (1,) — must be w- and ws-aligned
+    bt_ref = next(it)  # (b, max_pages)
+    pos_ref = next(it)  # (b,) — each must be w- and ws-aligned
     lidx_ref = next(it) if has_layer else None
-    knew_ref = next(it)  # (1, s, h_k, d) VMEM, s % w == 0
+    knew_ref = next(it)  # (1, s, h_k, d) VMEM block, s % w == 0
     vnew_ref = next(it)
     _ = next(it)
     _ = next(it)
@@ -213,14 +217,15 @@ def _prefill_append_kernel(
         kstage[...] = knew_ref[0].swapaxes(0, 1).astype(kstage.dtype)
         vstage[...] = vnew_ref[0].swapaxes(0, 1).astype(vstage.dtype)
 
-    pos0 = pl.multiple_of(pos_ref[0] + s * pl.program_id(0), w)
+    ib = pl.program_id(0)
+    pos0 = pl.multiple_of(pos_ref[ib] + s * pl.program_id(1), w)
     lead = (lidx_ref[0],) if has_layer else ()
 
     copies = []
     n_w = s // w
     for widx in range(n_w):
         gpos = pos0 + widx * w
-        pe = bt_ref[0, gpos // page]
+        pe = bt_ref[ib, gpos // page]
         rb = pl.multiple_of(gpos % page, w)
         copies.append(
             pltpu.make_async_copy(
@@ -240,7 +245,7 @@ def _prefill_append_kernel(
         s_pad = ksstage.shape[1]
         for widx in range(s_pad // ws):
             gpos = pos0 + widx * ws
-            pe = bt_ref[0, gpos // page]
+            pe = bt_ref[ib, gpos // page]
             lb = pl.multiple_of(gpos % page, ws)
             copies.append(
                 pltpu.make_async_copy(
@@ -282,8 +287,11 @@ def paged_append(
 
     Three shapes of use:
     - decode: sq == 1, any positions (per-token window RMW)
-    - prefill: b == 1, positions[0] aligned to the page size, sq padded to
-      the value-window multiple (rows past the true length are dead)
+    - prefill: any b; every positions[i] aligned to the scale window (the
+      engine prefills at page- or chunk-aligned offsets), sq padded to the
+      value-window multiple (rows past the true length are dead). b > 1
+      rows are independent requests (batched chunked prefill); a padding
+      row points its block table at the trash page.
     - speculative verify (``mode="decode"``, sq > 1): batched multi-token
       append at arbitrary unaligned positions — unrolled into sq per-token
       window RMWs (sq is the small draft length, 2-8)
@@ -343,8 +351,6 @@ def paged_append(
         return out
 
     prefill = sq > 1
-    if prefill and b != 1:
-        raise NotImplementedError("prefill append supports b == 1")
     if prefill and sq % w:
         raise ValueError(f"prefill length {sq} must be a multiple of {w}")
 
@@ -368,9 +374,11 @@ def paged_append(
     n_chunks = sq // chunk if prefill else 1
 
     inputs = [k_new, v_new, k_pool, v_pool]
-    if prefill and n_chunks > 1:
+    if prefill:
+        # one (row, chunk) block per grid step — bounded VMEM staging for
+        # any prompt length and any number of batched prefill rows
         new_spec = pl.BlockSpec(
-            (1, chunk, h_k, d), lambda i, *_: (0, i, 0, 0)
+            (1, chunk, h_k, d), lambda ib, i, *_: (ib, i, 0, 0)
         )
     else:
         new_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -447,7 +455,7 @@ def paged_append(
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=len(scalars),
-        grid=(n_chunks,),
+        grid=(b, n_chunks) if prefill else (1,),
         in_specs=in_specs,
         out_specs=out_specs,
         scratch_shapes=scratch,

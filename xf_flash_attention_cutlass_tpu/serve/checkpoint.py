@@ -76,7 +76,7 @@ def save_engine(engine, path: str, include_params: bool = False) -> None:
         include_params=include_params,
         prefixes=engine._prefixes,
         slot_prefix={str(k): v for k, v in engine._slot_prefix.items()},
-        prefill=engine._prefill,
+        prefills=engine._prefills,
     )
     payload = dict(
         state=np.frombuffer(json.dumps(state).encode(), np.uint8),
@@ -157,5 +157,10 @@ def load_engine(
         engine._slot_prefix = {
             int(k): v for k, v in state.get("slot_prefix", {}).items()
         }
-        engine._prefill = state.get("prefill")
+        saved = state.get("prefills")
+        if saved is None:  # pre-lane checkpoints stored a single slot
+            saved = [state.get("prefill")]
+        engine._prefills = [None] * engine.ecfg.prefill_lanes
+        for i, st in enumerate(x for x in saved if x is not None):
+            engine._prefills[i] = st
     return engine

@@ -52,6 +52,10 @@ class EngineConfig:
     # ONE compiled prefill shape for every prompt length and bounded
     # per-step latency. None keeps whole-prompt bucketed prefill.
     prefill_chunk: Optional[int] = None
+    # number of prompts prefilling simultaneously (one batched chunk step
+    # advances every lane): admission bursts don't serialize behind one
+    # long prompt. 1 = classic single-stream chunked prefill.
+    prefill_lanes: int = 1
     # speculative decoding (greedy requests only): each step verifies
     # [last_token + (speculate_k-1) prompt-lookup drafts] in one batched
     # multi-token paged step and emits 1..speculate_k tokens — exactly the
@@ -153,6 +157,7 @@ def decode_core(
     sample_key: Optional[jax.Array] = None,  # PRNGKey (replicated under TP)
     top_k: int = 0,
     top_p: float = 0.0,
+    sp_batch: bool = False,  # RS+AG collective structure (see verify_core)
 ):
     """One batched decode step = the L=1 case of verify_core, plus
     sampling. Returns (next_tokens, logits, pools). Under shard_map, cfg
@@ -165,7 +170,7 @@ def decode_core(
     step (measured 15x slowdown)."""
     logits, pools = verify_core(
         params, tokens, pools, block_tables, kv_lens, cfg, quant, interpret,
-        axis_name=axis_name,
+        axis_name=axis_name, sp_batch=sp_batch,
     )
     logits = logits[:, 0]
     next_tokens = sample_tokens(
@@ -205,6 +210,13 @@ def verify_core(
     quant: Optional[str] = None,
     interpret: Optional[bool] = None,
     axis_name: Optional[str] = None,  # TP axis inside shard_map
+    sp_batch: bool = False,  # split each per-layer psum into
+    # reduce-scatter + all-gather over the BATCH axis (decode's sequence-
+    # parallel analog): the residual stream lives batch-sharded between
+    # sharded regions, so XLA can overlap each reduce-scatter with the
+    # following norm and each all-gather with the next layer's QKV matmul
+    # over ICI. Comm volume is identical to the two psums (an allreduce IS
+    # RS+AG); the win is overlap structure. Requires b % tp == 0.
 ):
     """Speculative-decoding verification: one batched multi-token step.
     Appends all L input tokens' KV and returns logits at every position
@@ -232,6 +244,18 @@ def verify_core(
     append_pos = jnp.maximum(kv_lens - L, 0)
     positions = append_pos[:, None] + jnp.arange(L, dtype=jnp.int32)[None]
 
+    sp = bool(sp_batch) and axis_name is not None
+    if sp and "router" in params["layers"]:
+        sp = False  # MoE MLP has its own all_to_all structure; keep psums
+    if sp:
+        tp_n = jax.lax.axis_size(axis_name)
+        if b % tp_n:
+            sp = False  # batch not divisible: keep plain psums
+    if sp:
+        # residual stream lives batch-sharded between sharded regions
+        idx = jax.lax.axis_index(axis_name)
+        x = jax.lax.dynamic_slice_in_dim(x, idx * (b // tp_n), b // tp_n, 0)
+
     layers_xs, layers_stacked = _split_layer_params(params["layers"])
 
     def body(carry, xs):
@@ -241,7 +265,13 @@ def verify_core(
             x, kp, vp, ks, vs = carry
         else:
             x, kp, vp = carry
-        q, k_new, v_new = _attn_qkv(layer, x, cfg, cos, sin, positions)
+        if sp:
+            # all-gather the batch shard back to full rows for the sharded
+            # regions (overlappable with this layer's QKV matmul)
+            x_full = jax.lax.all_gather(x, axis_name, axis=0, tiled=True)
+        else:
+            x_full = x
+        q, k_new, v_new = _attn_qkv(layer, x_full, cfg, cos, sin, positions)
         if quant:
             kp, vp, ks, vs = paged_append(
                 kp, vp, k_new, v_new, block_tables, append_pos,
@@ -263,10 +293,26 @@ def verify_core(
             )
         o = o.reshape(b, L, cfg.n_heads * cfg.head_dim)
         partial = _proj(o, layer["wo"])
-        if axis_name is not None:
-            partial = jax.lax.psum(partial, axis_name)
-        x = x + partial
-        x = _mlp(layer, x, cfg, axis_name=axis_name)
+        if sp:
+            # reduce-scatter instead of psum: the sum lands batch-sharded,
+            # the residual add + next norm run on 1/tp of the rows, and
+            # the collective can overlap the norm
+            x = x + jax.lax.psum_scatter(
+                partial, axis_name, scatter_dimension=0, tiled=True
+            )
+            h = rms_norm(x, layer["mlp_norm"], cfg.rms_eps)
+            h = jax.lax.all_gather(h, axis_name, axis=0, tiled=True)
+            gate = _proj(h, layer["w_gate"])
+            up = _proj(h, layer["w_up"])
+            mlp_partial = _proj(jax.nn.silu(gate) * up, layer["w_down"])
+            x = x + jax.lax.psum_scatter(
+                mlp_partial, axis_name, scatter_dimension=0, tiled=True
+            )
+        else:
+            if axis_name is not None:
+                partial = jax.lax.psum(partial, axis_name)
+            x = x + partial
+            x = _mlp(layer, x, cfg, axis_name=axis_name)
         carry = (x, kp, vp, ks, vs) if quant else (x, kp, vp)
         return carry, None
 
@@ -279,6 +325,8 @@ def verify_core(
         body, carry0, (layers_xs, jnp.arange(n_layers, dtype=jnp.int32))
     )
     x = carry[0]
+    if sp:
+        x = jax.lax.all_gather(x, axis_name, axis=0, tiled=True)
     x = rms_norm(x, params["final_norm"], cfg.rms_eps)
     logits = _proj(x.reshape(b * L, -1), params["lm_head"])
     logits = logits.reshape(b, L, -1).astype(jnp.float32)
@@ -411,33 +459,37 @@ def prefill_step(
 
 def prefill_chunk_core(
     params,
-    tokens,  # (1, C) int32 — one fixed-size chunk of the prompt
-    n_prior,  # () int32: tokens already in the cache for this sequence
-    n_valid,  # () int32: valid tokens in this chunk (last chunk may be short)
+    tokens,  # (P, C) int32 — one fixed-size chunk per in-flight prompt row
+    n_prior,  # (P,) int32: tokens already in the cache per row
+    n_valid,  # (P,) int32: valid tokens per chunk row (0 = idle lane)
     pools,
-    bt_row,  # (1, max_pages) int32: full block table incl. trash tail
+    bt,  # (P, max_pages) int32: per-row block table incl. trash tail
     cfg: LlamaConfig,
     quant: Optional[str] = None,
     interpret: Optional[bool] = None,
+    axis_name: Optional[str] = None,  # TP axis inside shard_map
 ):
-    """One chunk of incremental prefill: append the chunk's KV into pages,
-    then paged attention of the chunk queries over cache[0 : n_prior + C]
-    (causal within the chunk via the kernel's trailing-query geometry).
+    """One step of incremental prefill for P simultaneous prompts: append
+    each row's chunk KV into its pages, then paged attention of the chunk
+    queries over cache[0 : n_prior + C] (causal within the chunk via the
+    kernel's trailing-query geometry).
 
     Every chunk compiles to ONE executable shape regardless of prompt
-    length, and the engine interleaves chunks with decode steps so a long
-    prompt never monopolizes the chip (vLLM-style chunked prefill).
-    Padded tail positions write garbage KV past n_valid; they are either
-    beyond the allocated pages (trash page) or overwritten by the very next
-    append at that position before anything attends to them.
-    Returns (logits_of_last_valid_token, pools)."""
-    C = tokens.shape[1]
+    length or how many rows are live, and the engine interleaves chunks
+    with decode steps so long prompts never monopolize the chip
+    (vLLM-style chunked prefill, batched so admission bursts do not
+    serialize). Padded tail positions and idle lanes (n_valid = 0, block
+    table all trash) write garbage KV that nothing ever attends to.
+    Returns (logits_of_last_valid_token (P, vocab), pools)."""
+    P, C = tokens.shape
     L = pools["k"].shape[0]
     x = params["embed"][jnp.clip(tokens, 0, cfg.vocab_size - 1)]
-    positions = (n_prior + jnp.arange(C, dtype=jnp.int32))[None]  # (1, C)
+    n_prior = jnp.reshape(n_prior, (P,))
+    n_valid = jnp.reshape(n_valid, (P,))
+    positions = n_prior[:, None] + jnp.arange(C, dtype=jnp.int32)[None]
     cos, sin = rotary_frequencies(cfg.head_dim, cfg.max_seq_len, cfg.rope_base)
-    kv_lens = (n_prior + C)[None] if jnp.ndim(n_prior) == 0 else n_prior + C
-    append_pos = jnp.reshape(n_prior, (1,))
+    kv_lens = n_prior + C
+    append_pos = n_prior
 
     layers_xs, layers_stacked = _split_layer_params(params["layers"])
 
@@ -451,25 +503,28 @@ def prefill_chunk_core(
         q, k_new, v_new = _attn_qkv(layer, x, cfg, cos, sin, positions)
         if quant:
             kp, vp, ks, vs = paged_append(
-                kp, vp, k_new, v_new, bt_row, append_pos,
+                kp, vp, k_new, v_new, bt, append_pos,
                 k_scales=ks, v_scales=vs, layer_idx=l, interpret=interpret,
             )
             o, _ = paged_attention(
-                q, kp, vp, bt_row, kv_lens, causal=True,
+                q, kp, vp, bt, kv_lens, causal=True,
                 k_scales=ks, v_scales=vs, layer_idx=l, interpret=interpret,
             )
         else:
             kp, vp = paged_append(
-                kp, vp, k_new, v_new, bt_row, append_pos,
+                kp, vp, k_new, v_new, bt, append_pos,
                 layer_idx=l, interpret=interpret,
             )
             o, _ = paged_attention(
-                q, kp, vp, bt_row, kv_lens, causal=True,
+                q, kp, vp, bt, kv_lens, causal=True,
                 layer_idx=l, interpret=interpret,
             )
-        o = o.reshape(1, C, cfg.n_heads * cfg.head_dim)
-        x = x + _proj(o, layer["wo"])
-        x = _mlp(layer, x, cfg)
+        o = o.reshape(P, C, cfg.n_heads * cfg.head_dim)
+        partial = _proj(o, layer["wo"])
+        if axis_name is not None:
+            partial = jax.lax.psum(partial, axis_name)
+        x = x + partial
+        x = _mlp(layer, x, cfg, axis_name=axis_name)
         carry = (x, kp, vp, ks, vs) if quant else (x, kp, vp)
         return carry, None
 
@@ -483,8 +538,11 @@ def prefill_chunk_core(
     )
     x = carry[0]
     x = rms_norm(x, params["final_norm"], cfg.rms_eps)
-    last = x[0, jnp.maximum(n_valid - 1, 0)]
-    logits = _proj(last[None], params["lm_head"]).astype(jnp.float32)[0]
+    last_idx = jnp.maximum(n_valid - 1, 0)  # (P,)
+    last = jnp.take_along_axis(x, last_idx[:, None, None], axis=1)[:, 0]
+    logits = _proj(last, params["lm_head"]).astype(jnp.float32)  # (P, V)
+    if axis_name is not None:
+        logits = jax.lax.all_gather(logits, axis_name, axis=-1, tiled=True)
     if quant:
         pools = dict(k=carry[1], v=carry[2], k_s=carry[3], v_s=carry[4])
     else:
@@ -498,12 +556,12 @@ def prefill_chunk_core(
     donate_argnames=("pools",),
 )
 def prefill_chunk_step(
-    params, tokens, n_prior, n_valid, pools, bt_row,
+    params, tokens, n_prior, n_valid, pools, bt,
     cfg: LlamaConfig, quant: Optional[str] = None,
     interpret: Optional[bool] = None,
 ):
     return prefill_chunk_core(
-        params, tokens, n_prior, n_valid, pools, bt_row, cfg, quant, interpret
+        params, tokens, n_prior, n_valid, pools, bt, cfg, quant, interpret
     )
 
 
@@ -517,6 +575,7 @@ class DecodeEngine:
         ecfg: EngineConfig,
         dtype=jnp.bfloat16,
         interpret: Optional[bool] = None,
+        mesh=None,  # jax.sharding.Mesh with a "tp" axis: serve TP-sharded
     ):
         self.params = params
         # decode consumes per-layer weights through the zero-copy stacked
@@ -545,14 +604,41 @@ class DecodeEngine:
             )
         else:
             self.pools = dict(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
+        # mesh mode: weights/pools sharded once at init (heads + KV heads
+        # over "tp"); every step function runs under shard_map with two
+        # psums per layer and a vocab all_gather (parallel/tp_serve.py).
+        # Host-side bookkeeping (allocator, block tables) is unchanged —
+        # pages are replicated metadata, only tensors shard.
+        self.mesh = mesh
+        if mesh is not None:
+            if not ecfg.prefill_chunk:
+                raise ValueError(
+                    "mesh mode serves prefill through the chunked path: "
+                    "set EngineConfig.prefill_chunk"
+                )
+            from xf_flash_attention_cutlass_tpu.parallel.tp import (
+                TP, shard_params,
+            )
+            from xf_flash_attention_cutlass_tpu.parallel.tp_serve import (
+                shard_pools,
+            )
+
+            if cfg.n_kv_heads % mesh.shape[TP]:
+                raise ValueError(
+                    f"n_kv_heads {cfg.n_kv_heads} must divide tp="
+                    f"{mesh.shape[TP]}"
+                )
+            self.params = shard_params(self.params, mesh)
+            self._decode_params = shard_params(self._decode_params, mesh)
+            self.pools = shard_pools(self.pools, mesh)
         self.queue: deque = deque()
         self.active: Dict[int, dict] = {}  # slot -> request state
         self.results: Dict[int, List[int]] = {}
         self._sample_base = jax.random.PRNGKey(ecfg.sample_seed)
         self._step_count = 0
-        # in-flight chunked prefill (one request at a time; one chunk per
-        # engine step, interleaved with decode)
-        self._prefill: Optional[dict] = None
+        # in-flight chunked prefills: one slot per lane; each engine step
+        # advances every busy lane by one chunk in a single batched call
+        self._prefills: List[Optional[dict]] = [None] * ecfg.prefill_lanes
         # shared-prefix cache: prefix_id -> dict(pages, shared_len, tokens,
         # remainder); slot -> prefix_id for live requests
         self._prefixes: Dict[str, dict] = {}
@@ -614,16 +700,11 @@ class DecodeEngine:
             n_valid = len(chunk)
             buf = np.zeros((1, C), np.int32)
             buf[0, :n_valid] = chunk
-            _, self.pools = prefill_chunk_step(
-                self._decode_params,
+            _, self.pools = self._run_prefill_chunk(
                 jnp.asarray(buf),
                 jnp.asarray(pos, jnp.int32),
                 jnp.asarray(n_valid, jnp.int32),
-                self.pools,
                 jnp.asarray(bt_row),
-                self.cfg,
-                self.ecfg.kv_quant,
-                self.interpret,
             )
             pos += n_valid
         self._prefixes[prefix_id] = dict(
@@ -643,6 +724,68 @@ class DecodeEngine:
             self.pool.prefix_free(pf["pages"])
 
     # ---- internals -------------------------------------------------------
+    def _run_prefill_chunk(self, tokens, n_prior, n_valid, bt):
+        """prefill_chunk_step, routed through the TP mesh when present."""
+        if self.mesh is not None:
+            from xf_flash_attention_cutlass_tpu.parallel.tp_serve import (
+                tp_prefill_chunk_step_jit,
+            )
+
+            return tp_prefill_chunk_step_jit(
+                self._decode_params, tokens, n_prior, n_valid, self.pools,
+                bt, cfg=self.cfg, mesh=self.mesh, quant=self.ecfg.kv_quant,
+                interpret=self.interpret,
+            )
+        return prefill_chunk_step(
+            self._decode_params, tokens, n_prior, n_valid, self.pools, bt,
+            self.cfg, self.ecfg.kv_quant, self.interpret,
+        )
+
+    def _run_decode(self, tokens, bt, kv_lens, sampling):
+        if self.mesh is not None:
+            from xf_flash_attention_cutlass_tpu.parallel.tp_serve import (
+                tp_decode_step_jit,
+            )
+
+            # mesh mode always passes concrete sampling arrays (a None in
+            # a shard_map arg slot breaks the spec pytree); zero temps are
+            # the greedy rows, and the same key on every device keeps
+            # sampled tokens identical across shards
+            temps = sampling.get(
+                "temperature",
+                jnp.zeros((self.ecfg.max_batch,), jnp.float32),
+            )
+            key = sampling.get(
+                "sample_key",
+                jax.random.fold_in(self._sample_base, self._step_count),
+            )
+            return tp_decode_step_jit(
+                self._decode_params, tokens, self.pools, bt, kv_lens,
+                cfg=self.cfg, mesh=self.mesh, quant=self.ecfg.kv_quant,
+                interpret=self.interpret, temperature=temps, sample_key=key,
+                top_k=self.ecfg.top_k, top_p=self.ecfg.top_p,
+            )
+        return decode_step(
+            self._decode_params, tokens, self.pools, bt, kv_lens,
+            self.cfg, self.ecfg.kv_quant, self.interpret, **sampling,
+        )
+
+    def _run_verify(self, tokens, bt, kv_lens):
+        if self.mesh is not None:
+            from xf_flash_attention_cutlass_tpu.parallel.tp_serve import (
+                tp_verify_step_jit,
+            )
+
+            return tp_verify_step_jit(
+                self._decode_params, tokens, self.pools, bt, kv_lens,
+                cfg=self.cfg, mesh=self.mesh, quant=self.ecfg.kv_quant,
+                interpret=self.interpret,
+            )
+        return verify_step(
+            self._decode_params, tokens, self.pools, bt, kv_lens,
+            self.cfg, self.ecfg.kv_quant, self.interpret,
+        )
+
     def _bucket(self, n: int) -> int:
         # min 32: the prefill append writes value windows of up to 32 rows
         # (int8/fp8 sublane tile), so the padded length must divide evenly
@@ -651,7 +794,7 @@ class DecodeEngine:
             b *= 2
         return min(b, self.ecfg.max_seq)
 
-    def _start_chunked_prefill(self) -> bool:
+    def _start_chunked_prefill(self, lane: int) -> bool:
         rid, prompt, max_new, temp, prefix_id = self.queue[0]
         if prefix_id is not None:
             pf = self._prefixes[prefix_id]
@@ -669,7 +812,7 @@ class DecodeEngine:
         self.queue.popleft()
         if prefix_id is not None:
             self._slot_prefix[slot] = prefix_id
-        self._prefill = dict(
+        self._prefills[lane] = dict(
             slot=slot, id=rid, prompt=prompt, todo=todo, base=base,
             done=0, max_new=max_new, temperature=temp, prefix_id=prefix_id,
         )
@@ -692,52 +835,68 @@ class DecodeEngine:
         return row[None]
 
     def _advance_chunked_prefill(self):
-        """Run ONE chunk of the in-flight prefill; activate when done."""
-        st = self._prefill
+        """Advance every busy prefill lane by one chunk in ONE batched
+        step; activate requests whose prompt completed."""
+        P = self.ecfg.prefill_lanes
         C = self.ecfg.prefill_chunk
-        todo, done, base = st["todo"], st["done"], st["base"]
-        chunk = todo[done : done + C]
-        n_valid = len(chunk)
-        tokens = np.zeros((1, C), np.int32)
-        tokens[0, :n_valid] = chunk
-        bt_row = self._bt_row_with_prefix(st["slot"])
-        logits, self.pools = prefill_chunk_step(
-            self._decode_params,
+        mp = self.ecfg.max_pages_per_seq
+        tokens = np.zeros((P, C), np.int32)
+        n_prior = np.zeros((P,), np.int32)
+        n_valid = np.zeros((P,), np.int32)
+        bt = np.full((P, mp), self.trash_page, np.int32)
+        chunks = [None] * P
+        for lane, st in enumerate(self._prefills):
+            if st is None:
+                continue
+            todo, done, base = st["todo"], st["done"], st["base"]
+            chunk = todo[done : done + C]
+            chunks[lane] = chunk
+            tokens[lane, : len(chunk)] = chunk
+            n_prior[lane] = base + done
+            n_valid[lane] = len(chunk)
+            bt[lane] = self._bt_row_with_prefix(st["slot"])[0]
+        logits, self.pools = self._run_prefill_chunk(
             jnp.asarray(tokens),
-            jnp.asarray(base + done, jnp.int32),
-            jnp.asarray(n_valid, jnp.int32),
-            self.pools,
-            jnp.asarray(bt_row),
-            self.cfg,
-            self.ecfg.kv_quant,
-            self.interpret,
+            jnp.asarray(n_prior),
+            jnp.asarray(n_valid),
+            jnp.asarray(bt),
         )
-        st["done"] = done + n_valid
-        self.stats["prefill_chunks"] += 1
-        if st["done"] < len(todo):
-            return
-        first = jnp.argmax(logits).astype(jnp.int32)
-        if st["temperature"] > 0.0:
-            key = jax.random.fold_in(self._sample_base, (st["id"] << 8) ^ 0xA5)
-            first = sample_tokens(
-                logits[None],
-                jnp.asarray([st["temperature"]], jnp.float32),
-                key,
-                top_k=self.ecfg.top_k,
-                top_p=self.ecfg.top_p,
-            )[0]
-        self.active[st["slot"]] = dict(
-            id=st["id"],
-            prompt=st["prompt"],
-            last_token=int(first),
-            generated=[int(first)],
-            max_new=st["max_new"],
-            temperature=st["temperature"],
-            prefix_id=st["prefix_id"],
-        )
-        self._prefill = None
-        self.stats["requests_admitted"] += 1
-        self.stats["tokens_emitted"] += 1  # prefill emits the first token
+        logits_np = None  # fetched lazily (only when a lane completes)
+        for lane, st in enumerate(self._prefills):
+            if st is None:
+                continue
+            st["done"] += int(n_valid[lane])
+            self.stats["prefill_chunks"] += 1
+            if st["done"] < len(st["todo"]):
+                continue
+            if logits_np is None:
+                logits_np = np.asarray(logits)
+            first = int(np.argmax(logits_np[lane]))
+            if st["temperature"] > 0.0:
+                key = jax.random.fold_in(
+                    self._sample_base, (st["id"] << 8) ^ 0xA5
+                )
+                first = int(
+                    sample_tokens(
+                        logits[lane][None],
+                        jnp.asarray([st["temperature"]], jnp.float32),
+                        key,
+                        top_k=self.ecfg.top_k,
+                        top_p=self.ecfg.top_p,
+                    )[0]
+                )
+            self.active[st["slot"]] = dict(
+                id=st["id"],
+                prompt=st["prompt"],
+                last_token=first,
+                generated=[first],
+                max_new=st["max_new"],
+                temperature=st["temperature"],
+                prefix_id=st["prefix_id"],
+            )
+            self._prefills[lane] = None
+            self.stats["requests_admitted"] += 1
+            self.stats["tokens_emitted"] += 1  # prefill emits the 1st token
 
     def _admit_one(self) -> bool:
         rid, prompt, max_new, temp, prefix_id = self.queue[0]
@@ -792,13 +951,17 @@ class DecodeEngine:
         step before the decode batch (chunked prefill interleaving);
         otherwise whole prompts are prefilled at admission."""
         if self.ecfg.prefill_chunk:
-            if (
-                self._prefill is None
-                and self.queue
-                and len(self.active) < self.ecfg.max_batch
-            ):
-                self._start_chunked_prefill()
-            if self._prefill is not None:
+            for lane in range(self.ecfg.prefill_lanes):
+                if not self.queue:
+                    break
+                busy = sum(st is not None for st in self._prefills)
+                if self._prefills[lane] is not None or (
+                    len(self.active) + busy >= self.ecfg.max_batch
+                ):
+                    continue
+                if not self._start_chunked_prefill(lane):
+                    break
+            if any(st is not None for st in self._prefills):
                 self._advance_chunked_prefill()
         else:
             while self.queue and len(self.active) < self.ecfg.max_batch:
@@ -872,16 +1035,9 @@ class DecodeEngine:
                 top_k=self.ecfg.top_k,
                 top_p=self.ecfg.top_p,
             )
-        next_tokens, _, self.pools = decode_step(
-            self._decode_params,
-            jnp.asarray(tokens),
-            self.pools,
-            jnp.asarray(bt),
-            jnp.asarray(kv_lens),
-            self.cfg,
-            self.ecfg.kv_quant,
-            self.interpret,
-            **sampling,
+        next_tokens, _, self.pools = self._run_decode(
+            jnp.asarray(tokens), jnp.asarray(bt), jnp.asarray(kv_lens),
+            sampling,
         )
         next_np = np.asarray(next_tokens)
         for slot, st in self.active.items():
@@ -926,15 +1082,8 @@ class DecodeEngine:
             drafts = draft_prompt_lookup(ctx, L - 1, self.ecfg.spec_ngram)
             tokens[slot] = [st["last_token"]] + drafts
         self._step_count += 1
-        logits, self.pools = verify_step(
-            self._decode_params,
-            jnp.asarray(tokens),
-            self.pools,
-            jnp.asarray(bt),
-            jnp.asarray(kv_lens),
-            self.cfg,
-            self.ecfg.kv_quant,
-            self.interpret,
+        logits, self.pools = self._run_verify(
+            jnp.asarray(tokens), jnp.asarray(bt), jnp.asarray(kv_lens)
         )
         greedy = np.asarray(jnp.argmax(logits, axis=-1))  # (b, L)
         for slot, st in self.active.items():
@@ -962,7 +1111,11 @@ class DecodeEngine:
 
     def run(self, max_steps: int = 10_000) -> Dict[int, List[int]]:
         steps = 0
-        while (self.queue or self.active or self._prefill) and steps < max_steps:
+        while (
+            self.queue or self.active or any(
+                st is not None for st in self._prefills
+            )
+        ) and steps < max_steps:
             self.step()
             steps += 1
         return self.results
