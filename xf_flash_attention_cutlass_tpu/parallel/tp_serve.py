@@ -17,6 +17,7 @@ import functools
 from typing import Optional
 
 import jax
+import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from xf_flash_attention_cutlass_tpu.models.llama import LlamaConfig
@@ -25,7 +26,11 @@ from xf_flash_attention_cutlass_tpu.parallel.tp import (
     _local_cfg,
     param_partition_specs,
 )
-from xf_flash_attention_cutlass_tpu.serve.engine import decode_core, verify_core
+from xf_flash_attention_cutlass_tpu.serve.engine import (
+    decode_core,
+    prefill_chunk_core,
+    verify_core,
+)
 
 
 def pool_partition_specs(pools: dict) -> dict:
@@ -54,6 +59,14 @@ def tp_decode_step(
     mesh: Mesh,
     quant: Optional[str] = None,
     interpret: Optional[bool] = None,
+    temperature=None,  # (b,) f32 replicated; None -> greedy
+    sample_key=None,  # PRNGKey replicated (same on every device)
+    top_k: int = 0,
+    top_p: float = 0.0,
+    sp_batch: bool = False,  # reduce-scatter + all-gather per layer instead
+    # of psums: the residual stream stays batch-sharded between sharded
+    # regions so the collectives can overlap norms/matmuls over ICI
+    # (engine.verify_core sp_batch). Same comm volume, better overlap.
 ):
     """One tensor-parallel decode step. Returns (next_tokens, logits, pools)
     with pools still sharded."""
@@ -61,21 +74,31 @@ def tp_decode_step(
     kspecs = pool_partition_specs(pools)
     tp_size = mesh.shape[TP]
     lcfg = _local_cfg(cfg, tp_size)
+    # shard_map specs must match the arg pytree: normalize Nones to
+    # concrete replicated arrays (zero temperature rows take argmax)
+    if temperature is None:
+        temperature = jnp.zeros((tokens.shape[0],), jnp.float32)
+    if sample_key is None:
+        sample_key = jax.random.PRNGKey(0)
+
+    def local(params, tokens, pools, block_tables, kv_lens, temperature,
+              sample_key):
+        return decode_core(
+            params, tokens, pools, block_tables, kv_lens,
+            cfg=lcfg, quant=quant, interpret=interpret, axis_name=TP,
+            temperature=temperature, sample_key=sample_key,
+            top_k=top_k, top_p=top_p, sp_batch=sp_batch,
+        )
 
     fn = jax.shard_map(
-        functools.partial(
-            decode_core,
-            cfg=lcfg,
-            quant=quant,
-            interpret=interpret,
-            axis_name=TP,
-        ),
+        local,
         mesh=mesh,
-        in_specs=(pspecs, P(), kspecs, P(), P()),
+        in_specs=(pspecs, P(), kspecs, P(), P(), P(), P()),
         out_specs=(P(), P(), kspecs),
         check_vma=False,
     )
-    return fn(params, tokens, pools, block_tables, kv_lens)
+    return fn(params, tokens, pools, block_tables, kv_lens, temperature,
+              sample_key)
 
 
 def tp_verify_step(
@@ -111,6 +134,66 @@ def tp_verify_step(
         check_vma=False,
     )
     return fn(params, tokens, pools, block_tables, kv_lens)
+
+
+def tp_prefill_chunk_step(
+    params,
+    tokens,  # (P, C) int32, replicated
+    n_prior,  # (P,) int32
+    n_valid,  # (P,) int32
+    pools,
+    bt,  # (P, max_pages) int32, replicated
+    cfg: LlamaConfig,
+    mesh: Mesh,
+    quant: Optional[str] = None,
+    interpret: Optional[bool] = None,
+):
+    """Tensor-parallel batched chunked prefill (engine.prefill_chunk_core
+    under shard_map). Returns (logits (P, vocab), pools) with pools still
+    sharded."""
+    pspecs = param_partition_specs(params)
+    kspecs = pool_partition_specs(pools)
+    lcfg = _local_cfg(cfg, mesh.shape[TP])
+
+    fn = jax.shard_map(
+        functools.partial(
+            prefill_chunk_core,
+            cfg=lcfg,
+            quant=quant,
+            interpret=interpret,
+            axis_name=TP,
+        ),
+        mesh=mesh,
+        in_specs=(pspecs, P(), P(), P(), kspecs, P()),
+        out_specs=(P(), kspecs),
+        check_vma=False,
+    )
+    return fn(params, tokens, n_prior, n_valid, pools, bt)
+
+
+# ---- jitted, pool-donating wrappers for the DecodeEngine's mesh mode ----
+# (mesh/cfg/quant static; re-creating shard_map per eager call would
+# re-stage every engine step)
+
+tp_decode_step_jit = functools.partial(
+    jax.jit,
+    static_argnames=(
+        "cfg", "mesh", "quant", "interpret", "top_k", "top_p", "sp_batch",
+    ),
+    donate_argnames=("pools",),
+)(tp_decode_step)
+
+tp_verify_step_jit = functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "mesh", "quant", "interpret"),
+    donate_argnames=("pools",),
+)(tp_verify_step)
+
+tp_prefill_chunk_step_jit = functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "mesh", "quant", "interpret"),
+    donate_argnames=("pools",),
+)(tp_prefill_chunk_step)
 
 
 DP = "dp"
