@@ -87,3 +87,36 @@ def test_dropout_causal_masked_stay_zero():
     n_empty = sq - sk
     assert float(jnp.max(jnp.abs(o[:, :, :n_empty]))) == 0.0
     assert bool(jnp.all(jnp.isneginf(lse[:, :, :n_empty])))
+
+
+def test_dropout_paged_varlen_fraction():
+    """Dropout through the paged varlen entry (the reference's varlen path
+    carries dropout, export.cpp:669-937; api.py routes it through the
+    packed dense kernel). Same statistical check: with uniform attention
+    and v=1, realized dropout fraction within 0.01 of p."""
+    from xf_flash_attention_cutlass_tpu.api import flash_attn_varlen_func
+
+    p = 0.17
+    h, h_k, d, page = 4, 4, 64, 16
+    lens_q = [60, 100, 36]
+    lens_k = [64, 112, 48]
+    total_q = sum(lens_q)
+    b = len(lens_q)
+    max_pages = max(lens_k) // page + 1
+    num_blocks = b * max_pages
+    cu_q = jnp.asarray(np.cumsum([0] + lens_q), jnp.int32)
+    cu_k = jnp.asarray(np.cumsum([0] + lens_k), jnp.int32)
+    bt = jnp.arange(num_blocks, dtype=jnp.int32).reshape(b, max_pages)
+
+    q = jnp.zeros((total_q, h, d), jnp.float32)
+    k_cache = jnp.zeros((num_blocks, page, h_k, d), jnp.float32)
+    v_cache = jnp.ones((num_blocks, page, h_k, d), jnp.float32)
+
+    out = flash_attn_varlen_func(
+        q, k_cache, v_cache, cu_q, cu_k,
+        max_seqlen_q=max(lens_q), max_seqlen_k=max(lens_k),
+        dropout_p=p, block_table=bt,
+        seqused_k=jnp.asarray(lens_k, jnp.int32), dropout_seed=3,
+    )
+    keep_frac = float(jnp.mean(out)) * (1.0 - p)
+    assert abs((1.0 - keep_frac) - p) < 0.01, keep_frac

@@ -190,12 +190,12 @@ def flash_attn_varlen_func(
         _check(block_table.ndim == 2, f"block_table must be (b, max_pages), got {block_table.shape}")
         if seqused_k is None:
             seqused_k = (cu_seqlens_k[1:] - cu_seqlens_k[:-1]).astype(jnp.int32)
-        if dropout_p:
-            raise NotImplementedError("dropout with paged varlen")
         out, lse = flash_attn_varlen_paged(
             q, k, v, block_table, cu_seqlens_q, seqused_k,
+            max_seqlen_q=max_seqlen_q,
             causal=causal, window=window_size, softcap=softcap,
             softmax_scale=softmax_scale, alibi_slopes=alibi_slopes,
+            dropout_p=dropout_p, dropout_seed=dropout_seed,
         )
         if return_attn_probs:
             return out, lse, None

@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from xf_flash_attention_cutlass_tpu.ops.flash import flash_attention
+from xf_flash_attention_cutlass_tpu.ops.paged import paged_attention
 
 
 def segments_from_cu_seqlens(cu_seqlens: jax.Array, total: int) -> jax.Array:
@@ -145,32 +146,121 @@ def flash_attn_varlen_paged(
     cu_seqlens_q: jax.Array,  # (b+1,) int32
     seqused_k: jax.Array,  # (b,) int32 — live keys per sequence
     *,
+    max_seqlen_q: Optional[int] = None,  # static bound on per-seq q length
     causal: bool = False,
     window: Tuple[int, int] = (-1, -1),
     softcap: float = 0.0,
     softmax_scale: Optional[float] = None,
     alibi_slopes: Optional[jax.Array] = None,
+    dropout_p: float = 0.0,  # served by the packed dense path (the paged
+    # kernel is a pure inference kernel; the reference's varlen dropout
+    # lives in its training kernel, export.cpp:669-937)
+    dropout_seed: int = 0,
+    internal_layout: bool = False,  # pools already (num_blocks, h_k, page, d)
     interpret: Optional[bool] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Ragged-batch prefill against a paged KV cache — the reference's
     `mha_varlen_fwd` with `block_table` (/root/reference/export.cpp:732-741).
 
-    Prefill is compute-bound, so the paged KV is gathered into a packed
-    rectangular layout (one XLA gather) and the packed dense kernel runs
-    with segment/position masking; the bandwidth-optimal scalar-prefetch
-    path (ops/paged.py) stays reserved for decode. Returns (out, lse) in
-    the varlen layouts ((total_q, h, d), (h, total_q))."""
+    Served by the scalar-prefetch paged kernel (ops/paged.py): queries are
+    right-aligned into a (b, max_seqlen_q) rectangle (Q is tiny; K/V stay
+    paged) and each row attends its live pages only — HBM traffic scales
+    with live pages, not with b * max_pages (the round-1 version gathered
+    that whole rectangle densely, defeating paging for long-context ragged
+    prefill). The reference-layout compat surface pays ONE pool transpose
+    (proportional to pool size); engine-style callers pass
+    ``internal_layout=True`` and pay nothing. Very large max_seqlen_q
+    (query block beyond the kernel's VMEM budget) falls back to the packed
+    dense-gather path. Returns (out, lse) in the varlen layouts
+    ((total_q, h, d), (h, total_q))."""
     total_q, h, d = q.shape
-    num_blocks, page, h_k, _ = k_cache.shape
     b, max_pages = block_table.shape
-    sk = max_pages * page  # rectangular per-sequence key stride
-
-    flat = block_table.astype(jnp.int32).reshape(-1)
-    kd = k_cache[flat].reshape(b, sk, h_k, d).reshape(b * sk, h_k, d)
-    vd = v_cache[flat].reshape(b, sk, h_k, d).reshape(b * sk, h_k, d)
+    if internal_layout:
+        k_pool, v_pool = k_cache, v_cache
+        page = k_cache.shape[2]
+    else:
+        # (num_blocks, page, h_k, d) -> (num_blocks, h_k, page, d)
+        page = k_cache.shape[1]
+        k_pool = k_cache.transpose(0, 2, 1, 3)
+        v_pool = v_cache.transpose(0, 2, 1, 3)
+    h_k = k_pool.shape[1]
 
     cu_q = cu_seqlens_q.astype(jnp.int32)
     seqused_k = seqused_k.astype(jnp.int32)
+    len_q = cu_q[1:] - cu_q[:-1]
+    sq_max = int(max_seqlen_q) if max_seqlen_q else total_q
+    sq_max = min(sq_max, total_q)
+
+    g = h // h_k
+    # the paged kernel holds one (h_k, sq_max*g, d) query block + f32
+    # accumulator in VMEM; beyond ~3k rows fall back to the dense gather.
+    # dropout also routes there (paged = inference kernel, no PRNG path)
+    if sq_max * g > 3072 or dropout_p > 0.0:
+        return _varlen_paged_dense_fallback(
+            q, k_pool, v_pool, block_table, cu_q, seqused_k,
+            causal=causal, window=window, softcap=softcap,
+            softmax_scale=softmax_scale, alibi_slopes=alibi_slopes,
+            dropout_p=dropout_p, dropout_seed=dropout_seed,
+            interpret=interpret,
+        )
+
+    # right-align each sequence's queries: padded row j of sequence i maps
+    # to packed index cu_q[i] + j - (sq_max - len_q[i]); the pad rows in
+    # front compute attention for discarded positions
+    j = jnp.arange(sq_max, dtype=jnp.int32)[None, :]  # (1, sq_max)
+    src = cu_q[:-1, None] + j - (sq_max - len_q[:, None])
+    valid = src >= cu_q[:-1, None]
+    src_c = jnp.clip(src, 0, total_q - 1)
+    q_pad = q[src_c.reshape(-1)].reshape(b, sq_max, h, d)
+
+    if alibi_slopes is not None:
+        alibi_slopes = jnp.asarray(alibi_slopes, jnp.float32)
+        if alibi_slopes.ndim != 1:
+            raise NotImplementedError(
+                "per-batch alibi slopes are not supported in packed varlen mode"
+            )
+        # the paged kernel's alibi uses |qpos - kcol| relative distances,
+        # identical for the right-aligned rows; broadcast to (b, h)
+        alibi_slopes = jnp.broadcast_to(alibi_slopes[None], (b, h))
+
+    out_pad, lse_pad = paged_attention(
+        q_pad, k_pool, v_pool, block_table.astype(jnp.int32), seqused_k,
+        softmax_scale=softmax_scale, causal=causal, window=window,
+        softcap=softcap, alibi_slopes=alibi_slopes, interpret=interpret,
+    )  # out (b, sq_max, h, d); lse (b, h, sq_max)
+
+    # scatter back to the packed layouts
+    qidx = jnp.arange(total_q, dtype=jnp.int32)
+    qseg = segments_from_cu_seqlens(cu_q, total_q)
+    segc = jnp.clip(qseg, 0, None)
+    jj = qidx - cu_q[segc] + (sq_max - len_q[segc])
+    jj = jnp.clip(jj, 0, sq_max - 1)
+    out = out_pad[segc, jj]  # (total_q, h, d)
+    out = jnp.where((qseg >= 0)[:, None, None], out, 0.0).astype(q.dtype)
+    lse = lse_pad[segc, :, jj]  # (total_q, h)
+    lse = jnp.where((qseg >= 0)[:, None], lse, -jnp.inf).swapaxes(0, 1)
+    del valid
+    return out, lse
+
+
+def _varlen_paged_dense_fallback(
+    q, k_pool, v_pool, block_table, cu_q, seqused_k, *,
+    causal, window, softcap, softmax_scale, alibi_slopes,
+    dropout_p=0.0, dropout_seed=0, interpret=None,
+):
+    """Round-1 path: gather the padded rectangle densely, run the packed
+    kernel. Kept for query blocks too large for the paged kernel's VMEM."""
+    total_q, h, d = q.shape
+    b, max_pages = block_table.shape
+    h_k = k_pool.shape[1]
+    page = k_pool.shape[2]
+    sk = max_pages * page
+
+    flat = block_table.astype(jnp.int32).reshape(-1)
+    # internal layout (blocks, h_k, page, d) -> packed (b*sk, h_k, d)
+    kd = k_pool[flat].swapaxes(1, 2).reshape(b * sk, h_k, d)
+    vd = v_pool[flat].swapaxes(1, 2).reshape(b * sk, h_k, d)
+
     qseg = segments_from_cu_seqlens(cu_q, total_q)
     kidx = jnp.arange(b * sk, dtype=jnp.int32)
     kbatch = kidx // sk
@@ -178,8 +268,6 @@ def flash_attn_varlen_paged(
     kseg = jnp.where(kwithin < seqused_k[kbatch], kbatch, -2)
     kpos = jnp.where(kseg >= 0, kwithin, 2**30)
 
-    # bottom-right causal alignment: q token t of sequence i sits at key
-    # position seqused_k[i] - len_q[i] + t
     qidx = jnp.arange(total_q, dtype=jnp.int32)
     len_q = cu_q[1:] - cu_q[:-1]
     segc = jnp.clip(qseg, 0, None)
@@ -197,6 +285,6 @@ def flash_attn_varlen_paged(
         q, kd, vd, qseg, kseg, qpos, kpos,
         causal=causal, window=window, softcap=softcap,
         softmax_scale=softmax_scale, alibi_slopes=alibi_slopes,
-        dropout_p=0.0, dropout_seed=0, block_q=None, block_k=None,
-        interpret=interpret,
+        dropout_p=dropout_p, dropout_seed=dropout_seed,
+        block_q=None, block_k=None, interpret=interpret,
     )
