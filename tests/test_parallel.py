@@ -604,3 +604,63 @@ def test_tp_decode_sp_batch_matches_psum():
     )
     assert max_err(logits, ref_logits) < 1e-4
     assert jnp.array_equal(tok, ref_tok)
+
+
+def test_dp_tp_engine_token_identical():
+    """DecodeEngine on a dp=2 x tp=2 mesh — per-replica allocators, pool
+    pages sharded over dp, batch rows sharded over dp, kv heads over tp —
+    emits token-identical streams to the single-device engine."""
+    from xf_flash_attention_cutlass_tpu.serve import DecodeEngine, EngineConfig
+
+    cfg, params = _tiny()  # n_heads=4, n_kv_heads=4
+    mesh = make_mesh(dp=2, tp=2, devices=_cpu_devices(4))
+    ecfg = EngineConfig(
+        max_batch=4, page_size=16, num_pages=64, max_seq=256,
+        prefill_chunk=32, prefill_lanes=2,
+    )
+    prompts = {
+        0: [(7 * i + 3) % cfg.vocab_size for i in range(41)],
+        1: [5, 9, 2],
+        2: [(3 * i + 11) % cfg.vocab_size for i in range(17)],
+        3: [8, 1, 13, 21, 34],
+    }
+
+    def run(mesh_arg):
+        eng = DecodeEngine(
+            params, cfg, ecfg, dtype=jnp.float32, mesh=mesh_arg
+        )
+        for rid, p in prompts.items():
+            eng.add_request(rid, p, 5)
+        return eng.run()
+
+    ref = run(None)
+    out = run(mesh)
+    for rid in prompts:
+        assert list(out[rid]) == list(ref[rid]), rid
+
+
+def test_dp_tp_engine_speculative_and_quant():
+    """dp x tp engine with speculative decoding and int8 KV pools."""
+    from xf_flash_attention_cutlass_tpu.serve import DecodeEngine, EngineConfig
+
+    cfg, params = _tiny()
+    mesh = make_mesh(dp=2, tp=2, devices=_cpu_devices(4))
+    ecfg = EngineConfig(
+        max_batch=4, page_size=16, num_pages=64, max_seq=256,
+        prefill_chunk=32, prefill_lanes=2, speculate_k=3, kv_quant="int8",
+    )
+    prompts = {0: [(5 * i + 2) % cfg.vocab_size for i in range(23)],
+               1: [7, 7, 7, 9]}
+
+    def run(mesh_arg):
+        eng = DecodeEngine(
+            params, cfg, ecfg, dtype=jnp.float32, mesh=mesh_arg
+        )
+        for rid, p in prompts.items():
+            eng.add_request(rid, p, 5)
+        return eng.run()
+
+    ref = run(None)
+    out = run(mesh)
+    for rid in prompts:
+        assert list(out[rid]) == list(ref[rid]), rid

@@ -33,6 +33,9 @@ from xf_flash_attention_cutlass_tpu.serve.engine import (
 )
 
 
+DP = "dp"
+
+
 def pool_partition_specs(pools: dict) -> dict:
     """KV pools (L, num_pages, h_k, page[, d]) shard on the kv-head axis."""
     return {
@@ -41,8 +44,18 @@ def pool_partition_specs(pools: dict) -> dict:
     }
 
 
-def shard_pools(pools: dict, mesh: Mesh) -> dict:
-    specs = pool_partition_specs(pools)
+def _kspecs(pools: dict, dp_axis: bool) -> dict:
+    """Pool specs: kv heads over tp, and (dp mode) pages over dp."""
+    if not dp_axis:
+        return pool_partition_specs(pools)
+    return {
+        name: P(None, DP, TP, *([None] * (arr.ndim - 3)))
+        for name, arr in pools.items()
+    }
+
+
+def shard_pools(pools: dict, mesh: Mesh, dp_axis: bool = False) -> dict:
+    specs = _kspecs(pools, dp_axis)
     return {
         k: jax.device_put(v, NamedSharding(mesh, specs[k]))
         for k, v in pools.items()
@@ -67,11 +80,16 @@ def tp_decode_step(
     # of psums: the residual stream stays batch-sharded between sharded
     # regions so the collectives can overlap norms/matmuls over ICI
     # (engine.verify_core sp_batch). Same comm volume, better overlap.
+    dp_axis: bool = False,  # mesh also has a "dp" axis: batch rows, block
+    # tables (LOCAL page ids), kv_lens and the pool page axis shard over it
+    # — each dp replica serves its own batch slice with zero cross-dp
+    # traffic (tp_dp_decode_step layout)
 ):
     """One tensor-parallel decode step. Returns (next_tokens, logits, pools)
     with pools still sharded."""
     pspecs = param_partition_specs(params)
-    kspecs = pool_partition_specs(pools)
+    kspecs = _kspecs(pools, dp_axis)
+    bspec = P(DP) if dp_axis else P()
     tp_size = mesh.shape[TP]
     lcfg = _local_cfg(cfg, tp_size)
     # shard_map specs must match the arg pytree: normalize Nones to
@@ -93,8 +111,8 @@ def tp_decode_step(
     fn = jax.shard_map(
         local,
         mesh=mesh,
-        in_specs=(pspecs, P(), kspecs, P(), P(), P(), P()),
-        out_specs=(P(), P(), kspecs),
+        in_specs=(pspecs, bspec, kspecs, bspec, bspec, bspec, P()),
+        out_specs=(bspec, bspec, kspecs),
         check_vma=False,
     )
     return fn(params, tokens, pools, block_tables, kv_lens, temperature,
@@ -111,12 +129,14 @@ def tp_verify_step(
     mesh: Mesh,
     quant: Optional[str] = None,
     interpret: Optional[bool] = None,
+    dp_axis: bool = False,
 ):
     """Tensor-parallel speculative verification: the L-token analog of
     tp_decode_step. Returns ((b, L, vocab) logits, pools) with pools still
     sharded; the engine's acceptance rule runs on the gathered logits."""
     pspecs = param_partition_specs(params)
-    kspecs = pool_partition_specs(pools)
+    kspecs = _kspecs(pools, dp_axis)
+    bspec = P(DP) if dp_axis else P()
     tp_size = mesh.shape[TP]
     lcfg = _local_cfg(cfg, tp_size)
 
@@ -129,8 +149,8 @@ def tp_verify_step(
             axis_name=TP,
         ),
         mesh=mesh,
-        in_specs=(pspecs, P(), kspecs, P(), P()),
-        out_specs=(P(), kspecs),
+        in_specs=(pspecs, bspec, kspecs, bspec, bspec),
+        out_specs=(bspec, kspecs),
         check_vma=False,
     )
     return fn(params, tokens, pools, block_tables, kv_lens)
@@ -147,12 +167,14 @@ def tp_prefill_chunk_step(
     mesh: Mesh,
     quant: Optional[str] = None,
     interpret: Optional[bool] = None,
+    dp_axis: bool = False,  # lane rows shard over "dp" (LOCAL page ids)
 ):
     """Tensor-parallel batched chunked prefill (engine.prefill_chunk_core
     under shard_map). Returns (logits (P, vocab), pools) with pools still
     sharded."""
     pspecs = param_partition_specs(params)
-    kspecs = pool_partition_specs(pools)
+    kspecs = _kspecs(pools, dp_axis)
+    bspec = P(DP) if dp_axis else P()
     lcfg = _local_cfg(cfg, mesh.shape[TP])
 
     fn = jax.shard_map(
@@ -164,8 +186,8 @@ def tp_prefill_chunk_step(
             axis_name=TP,
         ),
         mesh=mesh,
-        in_specs=(pspecs, P(), P(), P(), kspecs, P()),
-        out_specs=(P(), kspecs),
+        in_specs=(pspecs, bspec, bspec, bspec, kspecs, bspec),
+        out_specs=(bspec, kspecs),
         check_vma=False,
     )
     return fn(params, tokens, n_prior, n_valid, pools, bt)
@@ -179,24 +201,22 @@ tp_decode_step_jit = functools.partial(
     jax.jit,
     static_argnames=(
         "cfg", "mesh", "quant", "interpret", "top_k", "top_p", "sp_batch",
+        "dp_axis",
     ),
     donate_argnames=("pools",),
 )(tp_decode_step)
 
 tp_verify_step_jit = functools.partial(
     jax.jit,
-    static_argnames=("cfg", "mesh", "quant", "interpret"),
+    static_argnames=("cfg", "mesh", "quant", "interpret", "dp_axis"),
     donate_argnames=("pools",),
 )(tp_verify_step)
 
 tp_prefill_chunk_step_jit = functools.partial(
     jax.jit,
-    static_argnames=("cfg", "mesh", "quant", "interpret"),
+    static_argnames=("cfg", "mesh", "quant", "interpret", "dp_axis"),
     donate_argnames=("pools",),
 )(tp_prefill_chunk_step)
-
-
-DP = "dp"
 
 
 def tp_dp_decode_step(

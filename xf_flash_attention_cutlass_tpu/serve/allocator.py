@@ -339,3 +339,89 @@ class PagePool:
             sl[s] = ent[1]
             n += 1
         return bt, sl, n
+
+
+class DpPagePools:
+    """dp independent PagePools presenting one global-slot interface.
+
+    The dp x tp serving layout (parallel/tp_serve.tp_dp_decode_step) gives
+    each data-parallel replica its own disjoint slice of the page pool and
+    of the batch: global slot r*mb_local + s maps to local slot s of
+    replica r, and every page id handed out is LOCAL to its replica's pool
+    shard (the device pool arrays are sharded over "dp" on the page axis,
+    so local ids index the shard directly — zero cross-replica traffic).
+    """
+
+    def __init__(self, dp: int, num_pages_local: int, page_size: int,
+                 max_requests_local: int):
+        self.dp = dp
+        self.mb_local = max_requests_local
+        self.pools = [
+            PagePool(num_pages_local, page_size, max_requests_local)
+            for _ in range(dp)
+        ]
+
+    @property
+    def native(self) -> bool:
+        return all(p.native for p in self.pools)
+
+    def _split(self, slot: int):
+        return self.pools[slot // self.mb_local], slot % self.mb_local
+
+    def free_pages(self) -> int:
+        return sum(p.free_pages() for p in self.pools)
+
+    def admit_replica(self, replica: int, request_id: int, prompt_len: int,
+                      target_len: int) -> int:
+        s = self.pools[replica].admit(request_id, prompt_len, target_len)
+        return -1 if s < 0 else replica * self.mb_local + s
+
+    def admit(self, request_id: int, prompt_len: int, target_len: int) -> int:
+        # least-loaded replica first (balances batch rows across replicas)
+        order = sorted(range(self.dp),
+                       key=lambda r: -self.pools[r].free_pages())
+        for r in order:
+            s = self.admit_replica(r, request_id, prompt_len, target_len)
+            if s >= 0:
+                return s
+        return -1
+
+    def extend(self, slot: int, n_tokens: int = 1) -> int:
+        p, s = self._split(slot)
+        return p.extend(s, n_tokens)
+
+    def truncate(self, slot: int, new_len: int) -> int:
+        p, s = self._split(slot)
+        return p.truncate(s, new_len)
+
+    def retire(self, slot: int) -> None:
+        p, s = self._split(slot)
+        p.retire(s)
+
+    def seq_len(self, slot: int) -> int:
+        p, s = self._split(slot)
+        return p.seq_len(s)
+
+    def build_block_tables(self, max_pages: int):
+        """Global (dp*mb_local, max_pages) tables of LOCAL page ids."""
+        bts, lens, n_active = [], [], 0
+        for p in self.pools:
+            bt, kv, n = p.build_block_tables(max_pages)
+            bts.append(bt)
+            lens.append(kv)
+            n_active += int(n)
+        return np.concatenate(bts), np.concatenate(lens), n_active
+
+    def snapshot(self) -> np.ndarray:
+        parts = [p.snapshot() for p in self.pools]
+        n = max(len(x) for x in parts)
+        out = np.zeros((self.dp, n + 1), np.int64)
+        for r, x in enumerate(parts):
+            out[r, 0] = len(x)
+            out[r, 1 : 1 + len(x)] = x
+        return out.reshape(-1)
+
+    def restore(self, words: np.ndarray) -> None:
+        words = np.asarray(words, np.int64).reshape(self.dp, -1)
+        for r, row in enumerate(words):
+            self.pools[r].restore(row[1 : 1 + int(row[0])])

@@ -589,11 +589,42 @@ class DecodeEngine:
         self.cfg = cfg
         self.ecfg = ecfg
         self.interpret = interpret
-        self.pool = PagePool(ecfg.num_pages, ecfg.page_size, ecfg.max_batch)
+        # dp x tp mesh: each data-parallel replica owns a disjoint slice of
+        # the batch slots AND of the page pool (pool page axis sharded over
+        # "dp"); all host-side page ids are replica-LOCAL
+        self.dp = 1
+        if mesh is not None and "dp" in mesh.shape:
+            self.dp = int(mesh.shape["dp"])
+        if self.dp > 1:
+            for name, val in (
+                ("max_batch", ecfg.max_batch),
+                ("num_pages", ecfg.num_pages),
+                ("prefill_lanes", ecfg.prefill_lanes),
+            ):
+                if val % self.dp:
+                    raise ValueError(f"{name} ({val}) must divide dp={self.dp}")
+        num_pages_local = ecfg.num_pages // self.dp
+        if self.dp > 1:
+            from xf_flash_attention_cutlass_tpu.serve.allocator import (
+                DpPagePools,
+            )
+
+            self.pool = DpPagePools(
+                self.dp, num_pages_local, ecfg.page_size,
+                ecfg.max_batch // self.dp,
+            )
+        else:
+            self.pool = PagePool(
+                ecfg.num_pages, ecfg.page_size, ecfg.max_batch
+            )
         L = cfg.n_layers
-        # +1 physical page: the trash page absorbing padded prefill writes
-        shape = (L, ecfg.num_pages + 1, cfg.n_kv_heads, ecfg.page_size, cfg.head_dim)
-        self.trash_page = ecfg.num_pages
+        # +1 physical page PER REPLICA SHARD: the trash page absorbing
+        # padded prefill writes (local id num_pages_local in every shard)
+        shape = (
+            L, self.dp * (num_pages_local + 1), cfg.n_kv_heads,
+            ecfg.page_size, cfg.head_dim,
+        )
+        self.trash_page = num_pages_local
         if ecfg.kv_quant:
             vdt = jnp.int8 if ecfg.kv_quant == "int8" else jnp.float8_e4m3fn
             self.pools = dict(
@@ -630,7 +661,7 @@ class DecodeEngine:
                 )
             self.params = shard_params(self.params, mesh)
             self._decode_params = shard_params(self._decode_params, mesh)
-            self.pools = shard_pools(self.pools, mesh)
+            self.pools = shard_pools(self.pools, mesh, dp_axis=self.dp > 1)
         self.queue: deque = deque()
         self.active: Dict[int, dict] = {}  # slot -> request state
         self.results: Dict[int, List[int]] = {}
@@ -665,6 +696,11 @@ class DecodeEngine:
                 raise ValueError(
                     "prefix caching requires chunked prefill "
                     "(EngineConfig.prefill_chunk)"
+                )
+            if self.dp > 1:
+                raise NotImplementedError(
+                    "prefix caching with dp > 1: shared pages would need "
+                    "replication into every dp replica's pool shard"
                 )
             if prefix_id not in self._prefixes:
                 raise KeyError(f"unknown prefix {prefix_id!r}")
@@ -734,7 +770,7 @@ class DecodeEngine:
             return tp_prefill_chunk_step_jit(
                 self._decode_params, tokens, n_prior, n_valid, self.pools,
                 bt, cfg=self.cfg, mesh=self.mesh, quant=self.ecfg.kv_quant,
-                interpret=self.interpret,
+                interpret=self.interpret, dp_axis=self.dp > 1,
             )
         return prefill_chunk_step(
             self._decode_params, tokens, n_prior, n_valid, self.pools, bt,
@@ -764,6 +800,7 @@ class DecodeEngine:
                 cfg=self.cfg, mesh=self.mesh, quant=self.ecfg.kv_quant,
                 interpret=self.interpret, temperature=temps, sample_key=key,
                 top_k=self.ecfg.top_k, top_p=self.ecfg.top_p,
+                dp_axis=self.dp > 1,
             )
         return decode_step(
             self._decode_params, tokens, self.pools, bt, kv_lens,
@@ -779,7 +816,7 @@ class DecodeEngine:
             return tp_verify_step_jit(
                 self._decode_params, tokens, self.pools, bt, kv_lens,
                 cfg=self.cfg, mesh=self.mesh, quant=self.ecfg.kv_quant,
-                interpret=self.interpret,
+                interpret=self.interpret, dp_axis=self.dp > 1,
             )
         return verify_step(
             self._decode_params, tokens, self.pools, bt, kv_lens,
@@ -796,6 +833,23 @@ class DecodeEngine:
 
     def _start_chunked_prefill(self, lane: int) -> bool:
         rid, prompt, max_new, temp, prefix_id = self.queue[0]
+        if self.dp > 1:
+            # lane rows shard over dp in the batched chunk step: lane l
+            # prefills into replica l // lanes_local's pool shard
+            lanes_local = self.ecfg.prefill_lanes // self.dp
+            replica = lane // lanes_local
+            todo, base = prompt, 0
+            slot = self.pool.admit_replica(
+                replica, rid, len(todo), len(todo) + max_new
+            )
+            if slot < 0:
+                return False
+            self.queue.popleft()
+            self._prefills[lane] = dict(
+                slot=slot, id=rid, prompt=prompt, todo=todo, base=base,
+                done=0, max_new=max_new, temperature=temp, prefix_id=None,
+            )
+            return True
         if prefix_id is not None:
             pf = self._prefixes[prefix_id]
             todo = pf["remainder"] + prompt  # tokens this request computes
