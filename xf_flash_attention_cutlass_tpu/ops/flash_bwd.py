@@ -220,8 +220,15 @@ def _bwd_fused_kernel(params: FlashParams, seq_k_padded: int, group: int, *refs)
         )
 
 
-def _dq_kernel(params: FlashParams, seq_k_padded: int, *refs):
+def _dq_kernel(params: FlashParams, seq_k_padded: int, grid_nq_nk, *refs):
+    """Sparse mode (grid_nq_nk set): grid (b, h, live_pair) over a scalar-
+    prefetched iq-major table of live (iq, ik) block pairs — dead causal/
+    local pairs never become grid steps (same compression as flash_fwd)."""
+    sparse = grid_nq_nk is not None
     it = iter(refs)
+    if sparse:
+        iq_tab = next(it)  # (n_live + 1,), sentinel -1 last
+        ik_tab = next(it)
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref = (next(it) for _ in range(6))
     alibi_ref = next(it) if params.has_alibi else None
     kv_lens_ref = next(it) if params.has_kv_lens else None
@@ -232,10 +239,21 @@ def _dq_kernel(params: FlashParams, seq_k_padded: int, *refs):
     seed_ref = next(it) if params.dropout_p > 0.0 else None
     dq_ref = next(it)
 
-    ib, ih, iq, ik = (pl.program_id(i) for i in range(4))
-    nq, nk, h_all = pl.num_programs(2), pl.num_programs(3), pl.num_programs(1)
+    ib, ih = pl.program_id(0), pl.program_id(1)
+    h_all = pl.num_programs(1)
+    if sparse:
+        il = pl.program_id(2)
+        iq, ik = iq_tab[il], ik_tab[il]
+        nq, nk = grid_nq_nk
+        first_of_row = jnp.logical_or(
+            il == 0, iq_tab[jnp.maximum(il - 1, 0)] != iq
+        )
+    else:
+        iq, ik = pl.program_id(2), pl.program_id(3)
+        nq, nk = pl.num_programs(2), pl.num_programs(3)
+        first_of_row = ik == 0
 
-    @pl.when(ik == 0)
+    @pl.when(first_of_row)
     def _init():
         dq_ref[...] = jnp.zeros_like(dq_ref)
 
@@ -257,8 +275,16 @@ def _dq_kernel(params: FlashParams, seq_k_padded: int, *refs):
         )
 
 
-def _dkv_kernel(params: FlashParams, seq_k_padded: int, group: int, *refs):
+def _dkv_kernel(params: FlashParams, seq_k_padded: int, group: int,
+                grid_nq_nk, *refs):
+    """Sparse mode (grid_nq_nk set): grid (b, kv_head, live_pair, group)
+    over an ik-MAJOR table of live (iq, ik) pairs; dK/dV output blocks stay
+    fixed for each ik-run, accumulating across (live iq, group)."""
+    sparse = grid_nq_nk is not None
     it = iter(refs)
+    if sparse:
+        iq_tab = next(it)
+        ik_tab = next(it)  # ik-major; sentinel -1 last
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref = (next(it) for _ in range(6))
     alibi_ref = next(it) if params.has_alibi else None
     kv_lens_ref = next(it) if params.has_kv_lens else None
@@ -270,18 +296,29 @@ def _dkv_kernel(params: FlashParams, seq_k_padded: int, group: int, *refs):
     dk_ref = next(it)
     dv_ref = next(it)
 
-    # grid: (b, kv_head, kv_block, group, q_block)
     ib = pl.program_id(0)
     ihk = pl.program_id(1)
-    ik = pl.program_id(2)
-    ig = pl.program_id(3)
-    iq = pl.program_id(4)
-    nq = pl.num_programs(4)
-    nk = pl.num_programs(2)
     h_all = pl.num_programs(1) * group
+    if sparse:
+        il = pl.program_id(2)
+        ig = pl.program_id(3)
+        iq, ik = iq_tab[il], ik_tab[il]
+        nq, nk = grid_nq_nk
+        first_of_col = jnp.logical_and(
+            jnp.logical_or(il == 0, ik_tab[jnp.maximum(il - 1, 0)] != ik),
+            ig == 0,
+        )
+    else:
+        # grid: (b, kv_head, kv_block, group, q_block)
+        ik = pl.program_id(2)
+        ig = pl.program_id(3)
+        iq = pl.program_id(4)
+        nq = pl.num_programs(4)
+        nk = pl.num_programs(2)
+        first_of_col = jnp.logical_and(ig == 0, iq == 0)
     ih = ihk * group + ig  # q-head index, for dropout replay parity
 
-    @pl.when(jnp.logical_and(ig == 0, iq == 0))
+    @pl.when(first_of_col)
     def _init():
         dk_ref[...] = jnp.zeros_like(dk_ref)
         dv_ref[...] = jnp.zeros_like(dv_ref)
@@ -452,6 +489,27 @@ def flash_bwd(
 
     base_inputs = [qp, kp, vp, dop, lsep, deltap]
 
+    # live (iq, ik) block pairs for static masking geometry (same grid
+    # compression as flash_fwd: dead causal/local pairs are never stepped)
+    nq_, nk_ = sq_pad // bq, sk_pad // bk
+    offset_ = sk - sq
+    wl_, wr_ = params.window_resolved
+    pairs = []
+    for iq_ in range(nq_):
+        q_hi_ = (iq_ + 1) * bq - 1 + offset_
+        q_lo_ = iq_ * bq + offset_
+        for ik_ in range(nk_):
+            if ik_ * bk >= sk:
+                continue
+            if params.masks_cols_right and ik_ * bk > q_hi_ + wr_:
+                continue
+            if params.masks_cols_left and (ik_ + 1) * bk - 1 < q_lo_ - wl_:
+                continue
+            pairs.append((iq_, ik_))
+    sparse = (
+        not has_positions and not has_segments and len(pairs) < nq_ * nk_
+    )
+
     # ---- fused one-pass kernel (opt-in; measured slower, see docstring) --
     if fused is None:
         fused = False
@@ -499,57 +557,118 @@ def flash_bwd(
         dv = dv[:, :, :sk, :d].astype(in_dtypes[2])
         return dq, dk, dv
 
-    # ---- dQ pass: grid (b, h, iq, ik) ----------------------------------
-    specs, extra = common_specs(
-        hmap=lambda ib, ih, iq, ik: ih,
-        qblk=lambda ib, ih, iq, ik: iq,
-        kblk=lambda ib, ih, iq, ik: ik,
-    )
-    dq = pl.pallas_call(
-        functools.partial(_dq_kernel, params, sk_pad),
-        grid=(b, h, sq_pad // bq, sk_pad // bk),
-        in_specs=specs,
-        out_specs=pl.BlockSpec(
-            (1, 1, bq, d_pad), lambda ib, ih, iq, ik: (ib, ih, iq, 0)
-        ),
-        out_shape=jax.ShapeDtypeStruct((b, h, sq_pad, d_pad), jnp.float32),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
-            vmem_limit_bytes=100 * 1024 * 1024,
-        ),
-        interpret=interpret,
-    )(*base_inputs, *extra)
+    # ---- dQ pass: grid (b, h, iq, ik) or (b, h, live_pair) -------------
+    if sparse:
+        iq_tab = jnp.asarray([p_[0] for p_ in pairs] + [-1], jnp.int32)
+        ik_tab = jnp.asarray([p_[1] for p_ in pairs] + [0], jnp.int32)
+        specs, extra = common_specs(
+            hmap=lambda ib, ih, il, iqt, ikt: ih,
+            qblk=lambda ib, ih, il, iqt, ikt: iqt[il],
+            kblk=lambda ib, ih, il, iqt, ikt: ikt[il],
+        )
+        dq = pl.pallas_call(
+            functools.partial(_dq_kernel, params, sk_pad, (nq_, nk_)),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,
+                grid=(b, h, len(pairs)),
+                in_specs=specs,
+                out_specs=pl.BlockSpec(
+                    (1, 1, bq, d_pad),
+                    lambda ib, ih, il, iqt, ikt: (ib, ih, iqt[il], 0),
+                ),
+            ),
+            out_shape=jax.ShapeDtypeStruct((b, h, sq_pad, d_pad), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary"),
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+            interpret=interpret,
+        )(iq_tab, ik_tab, *base_inputs, *extra)
+    else:
+        specs, extra = common_specs(
+            hmap=lambda ib, ih, iq, ik: ih,
+            qblk=lambda ib, ih, iq, ik: iq,
+            kblk=lambda ib, ih, iq, ik: ik,
+        )
+        dq = pl.pallas_call(
+            functools.partial(_dq_kernel, params, sk_pad, None),
+            grid=(b, h, sq_pad // bq, sk_pad // bk),
+            in_specs=specs,
+            out_specs=pl.BlockSpec(
+                (1, 1, bq, d_pad), lambda ib, ih, iq, ik: (ib, ih, iq, 0)
+            ),
+            out_shape=jax.ShapeDtypeStruct((b, h, sq_pad, d_pad), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+            interpret=interpret,
+        )(*base_inputs, *extra)
 
-    # ---- dK/dV pass: grid (b, h_kv, ik, group, iq) ----------------------
-    specs, extra = common_specs(
-        hmap=lambda ib, ihk, ik, ig, iq: ihk * group + ig,
-        qblk=lambda ib, ihk, ik, ig, iq: iq,
-        kblk=lambda ib, ihk, ik, ig, iq: ik,
-    )
-    dk, dv = pl.pallas_call(
-        functools.partial(_dkv_kernel, params, sk_pad, group),
-        grid=(b, h_k, sk_pad // bk, group, sq_pad // bq),
-        in_specs=specs,
-        out_specs=[
-            pl.BlockSpec(
-                (1, 1, bk, d_pad), lambda ib, ihk, ik, ig, iq: (ib, ihk, ik, 0)
+    # ---- dK/dV pass: grid (b, h_kv, ik, group, iq) or sparse ------------
+    if sparse:
+        pairs_k = sorted(pairs, key=lambda p_: (p_[1], p_[0]))  # ik-major
+        iq_tab2 = jnp.asarray([p_[0] for p_ in pairs_k] + [-1], jnp.int32)
+        ik_tab2 = jnp.asarray([p_[1] for p_ in pairs_k] + [-1], jnp.int32)
+        specs, extra = common_specs(
+            hmap=lambda ib, ihk, il, ig, iqt, ikt: ihk * group + ig,
+            qblk=lambda ib, ihk, il, ig, iqt, ikt: iqt[il],
+            kblk=lambda ib, ihk, il, ig, iqt, ikt: ikt[il],
+        )
+        dkv_spec = pl.BlockSpec(
+            (1, 1, bk, d_pad),
+            lambda ib, ihk, il, ig, iqt, ikt: (ib, ihk, ikt[il], 0),
+        )
+        dk, dv = pl.pallas_call(
+            functools.partial(_dkv_kernel, params, sk_pad, group, (nq_, nk_)),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,
+                grid=(b, h_k, len(pairs_k), group),
+                in_specs=specs,
+                out_specs=[dkv_spec, dkv_spec],
             ),
-            pl.BlockSpec(
-                (1, 1, bk, d_pad), lambda ib, ihk, ik, ig, iq: (ib, ihk, ik, 0)
+            out_shape=[
+                jax.ShapeDtypeStruct((b, h_k, sk_pad, d_pad), jnp.float32),
+                jax.ShapeDtypeStruct((b, h_k, sk_pad, d_pad), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=(
+                    "parallel", "parallel", "arbitrary", "arbitrary",
+                ),
+                vmem_limit_bytes=100 * 1024 * 1024,
             ),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((b, h_k, sk_pad, d_pad), jnp.float32),
-            jax.ShapeDtypeStruct((b, h_k, sk_pad, d_pad), jnp.float32),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=(
-                "parallel", "parallel", "parallel", "arbitrary", "arbitrary",
+            interpret=interpret,
+        )(iq_tab2, ik_tab2, *base_inputs, *extra)
+    else:
+        specs, extra = common_specs(
+            hmap=lambda ib, ihk, ik, ig, iq: ihk * group + ig,
+            qblk=lambda ib, ihk, ik, ig, iq: iq,
+            kblk=lambda ib, ihk, ik, ig, iq: ik,
+        )
+        dk, dv = pl.pallas_call(
+            functools.partial(_dkv_kernel, params, sk_pad, group, None),
+            grid=(b, h_k, sk_pad // bk, group, sq_pad // bq),
+            in_specs=specs,
+            out_specs=[
+                pl.BlockSpec(
+                    (1, 1, bk, d_pad), lambda ib, ihk, ik, ig, iq: (ib, ihk, ik, 0)
+                ),
+                pl.BlockSpec(
+                    (1, 1, bk, d_pad), lambda ib, ihk, ik, ig, iq: (ib, ihk, ik, 0)
+                ),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((b, h_k, sk_pad, d_pad), jnp.float32),
+                jax.ShapeDtypeStruct((b, h_k, sk_pad, d_pad), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=(
+                    "parallel", "parallel", "parallel", "arbitrary", "arbitrary",
+                ),
+                vmem_limit_bytes=100 * 1024 * 1024,
             ),
-            vmem_limit_bytes=100 * 1024 * 1024,
-        ),
-        interpret=interpret,
-    )(*base_inputs, *extra)
+            interpret=interpret,
+        )(*base_inputs, *extra)
 
     dq = dq[:, :, :sq, :d].astype(in_dtypes[0])
     dk = dk[:, :, :sk, :d].astype(in_dtypes[1])
