@@ -264,6 +264,46 @@ def bench_engine_prefill(bucket=2048, n_layers=2, quant=None):
     )
 
 
+def bench_prefill_lanes(lanes=4, chunk=512, n_layers=2):
+    """Batched chunked prefill: `lanes` prompts advance per step in ONE
+    call (engine.prefill_chunk_core with P rows). Reports per-step token
+    throughput vs the single-lane step — admission bursts shouldn't
+    serialize (VERDICT r1 item 7)."""
+    from xf_flash_attention_cutlass_tpu.models.llama import LlamaConfig, init_params
+    from xf_flash_attention_cutlass_tpu.serve.engine import prefill_chunk_core
+
+    cfg = LlamaConfig(
+        vocab_size=8192, dim=4096, n_layers=n_layers, n_heads=32,
+        n_kv_heads=8, ffn_dim=14336, max_seq_len=4096,
+    )
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    page = 256
+    mp = 8
+
+    for P in (1, lanes):
+        n_pages = P * mp
+        shape = (n_layers, n_pages + 1, cfg.n_kv_heads, page, cfg.head_dim)
+        pools = dict(k=jnp.zeros(shape, jnp.bfloat16),
+                     v=jnp.zeros(shape, jnp.bfloat16))
+        tokens = jnp.ones((P, chunk), jnp.int32)
+        n_prior = jnp.zeros((P,), jnp.int32)
+        n_valid = jnp.full((P,), chunk, jnp.int32)
+        bt = (jnp.arange(P, dtype=jnp.int32)[:, None] * mp
+              + jnp.arange(mp, dtype=jnp.int32)[None])
+
+        def step(pools, params, tokens, n_prior, n_valid, bt):
+            _, pools = prefill_chunk_core(
+                params, tokens, n_prior, n_valid, pools, bt, cfg)
+            return pools
+
+        t = timed_scan(step, pools, params, tokens, n_prior, n_valid, bt)
+        toks = P * chunk / (t / n_layers * 32)
+        print(
+            f"prefill_lanes P={P} chunk={chunk}: {t*1e6:.0f}us/{n_layers}-layer"
+            f" -> {toks:.0f} prefill tok/s extrapolated 8B"
+        )
+
+
 if __name__ == "__main__":
     print(f"chip: {CHIP.name} ({jax.devices()[0].device_kind})")
     for seq in (2048, 4096, 8192):
@@ -280,3 +320,4 @@ if __name__ == "__main__":
     for bucket in (512, 2048):
         bench_engine_prefill(bucket)
     bench_engine_prefill(2048, quant="int8")
+    bench_prefill_lanes()
