@@ -154,3 +154,37 @@ def test_checkpoint_cfg_mismatch(tmp_path):
         load_engine(path, params=params, ecfg=bad)
     with pytest.raises(ValueError):
         load_engine(path)  # no params saved, none passed
+
+
+def test_checkpoint_resume_tp_mesh(tmp_path):
+    """Save from a TP-sharded engine mid-stream, restore into a fresh
+    TP-sharded engine, streams stay token-identical (pools re-sharded on
+    load)."""
+    import jax
+    from jax.sharding import Mesh
+
+    devs = jax.devices("cpu")
+    if len(devs) < 2:
+        pytest.skip("need 2 cpu devices")
+    mesh = Mesh(np.asarray(devs[:2]).reshape(2), ("tp",))
+    cfg = dataclasses.replace(_small_cfg(), n_heads=4, n_kv_heads=2)
+    params = init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    ecfg = EngineConfig(
+        max_batch=2, page_size=16, num_pages=32, max_seq=128,
+        prefill_chunk=32,
+    )
+    prompt = [(3 * i + 5) % cfg.vocab_size for i in range(19)]
+
+    ref_eng = DecodeEngine(params, cfg, ecfg, dtype=jnp.float32, mesh=mesh)
+    ref_eng.add_request(0, prompt, 8)
+    ref = ref_eng.run()
+
+    eng = DecodeEngine(params, cfg, ecfg, dtype=jnp.float32, mesh=mesh)
+    eng.add_request(0, prompt, 8)
+    for _ in range(4):
+        eng.step()
+    path = str(tmp_path / "ckpt_tp.npz")
+    save_engine(eng, path)
+    eng2 = load_engine(path, params=params, dtype=jnp.float32, mesh=mesh)
+    out = eng2.run()
+    assert list(out[0]) == list(ref[0])

@@ -100,6 +100,8 @@ def load_engine(
     ecfg=None,
     dtype=jnp.bfloat16,
     interpret: Optional[bool] = None,
+    mesh=None,  # restore into a TP / dp x tp sharded engine (same shape
+    # the engine was running with; pools are re-sharded on load)
 ):
     """Rebuild a DecodeEngine from a checkpoint. `params` must be supplied
     unless the checkpoint was saved with include_params=True. cfg/ecfg are
@@ -138,7 +140,9 @@ def load_engine(
                 params_spec,
                 treedef,
             )
-        engine = DecodeEngine(params, cfg, ecfg, dtype=dtype, interpret=interpret)
+        engine = DecodeEngine(
+            params, cfg, ecfg, dtype=dtype, interpret=interpret, mesh=mesh
+        )
         pool_keys = state["pool_keys"]
         treedef = jax.tree.structure({k: 0 for k in pool_keys})
         engine.pools = _unpack(
@@ -146,6 +150,14 @@ def load_engine(
             state["pools_spec"],
             treedef,
         )
+        if mesh is not None:
+            from xf_flash_attention_cutlass_tpu.parallel.tp_serve import (
+                shard_pools,
+            )
+
+            engine.pools = shard_pools(
+                engine.pools, mesh, dp_axis=engine.dp > 1
+            )
         engine.pool.restore(z["allocator"])
         engine.queue = deque(tuple(e) for e in state["queue"])
         engine.active = {int(k): v for k, v in state["active"].items()}
