@@ -1,0 +1,84 @@
+"""Multi-chip serving scaling report — BASELINE.json's "report tokens/s at
+1 chip / 1 host / N hosts" deliverable, for hardware this environment does
+not have (one v5e chip behind a tunnel; no ICI neighbors).
+
+Method: measured single-chip engine numbers (benchmarks/bench_suite.py,
+recorded below) + the ICI ring-collective model (utils/profiling.py,
+v5e: 2 links/axis x 45 GB/s/dir). Everything that shards divides by tp
+(weights, KV pages, attention heads — the engine's layout, parallel/
+tp_serve.py); the per-layer psum pair (or its RS+AG split) adds the
+modeled ICI time. dp replicas exchange ZERO bytes (tp_dp_decode_step:
+disjoint batch rows + pool shards), so dp rows scale linearly up to the
+admission balance.
+
+The multi-chip sharding itself is executable and tested: the same step
+functions run token-identically on the 8-way virtual CPU mesh
+(tests/test_parallel.py) and compile through the driver dryrun.
+"""
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from xf_flash_attention_cutlass_tpu.utils.profiling import (
+    V5E,
+    ici_collective_seconds,
+)
+
+# measured on the real chip (round 2, benchmarks/bench_suite.py):
+# 8B geometry, 64 concurrent requests @ ~1.5k ctx, int8 KV + int8 weights
+B = 64
+N_LAYERS = 32
+DIM = 4096
+T_LAYER_1CHIP = 622e-6  # attention+append 299us + projections ~320us
+T_FIXED = 50e-6  # per-step fixed costs (sampling, embed, final norm/head)
+TOK_S_1CHIP = B / (N_LAYERS * T_LAYER_1CHIP + T_FIXED)
+
+
+def step_time(tp: int, overlap: float) -> float:
+    """Per-step seconds at tensor parallelism tp; `overlap` is the fraction
+    of ICI time hidden under compute (0 = fully exposed psums, 0.5 = the
+    RS+AG split hiding half, engine sp_batch)."""
+    comm = 2 * ici_collective_seconds(B * DIM * 2, tp, V5E, "all_reduce")
+    t_layer = T_LAYER_1CHIP / tp + (1.0 - overlap) * comm
+    return N_LAYERS * t_layer + T_FIXED
+
+
+def report():
+    rows = []
+
+    def add(label, chips, dp, tp, overlap):
+        t = step_time(tp, overlap) if tp > 1 else (
+            N_LAYERS * T_LAYER_1CHIP + T_FIXED
+        )
+        toks = dp * B / t
+        eff = toks / (chips * TOK_S_1CHIP)
+        rows.append((label, chips, f"dp={dp} tp={tp}", toks, eff))
+
+    add("1 chip", 1, 1, 1, 0.0)
+    add("1 host (4 chips, pure dp)", 4, 4, 1, 0.0)
+    add("1 host (4 chips, tp=4, psum)", 4, 1, 4, 0.0)
+    add("1 host (4 chips, tp=4, RS+AG)", 4, 1, 4, 0.5)
+    add("2 hosts (8 chips, pure dp)", 8, 8, 1, 0.0)
+    add("2 hosts (8 chips, dp=2 x tp=4)", 8, 2, 4, 0.5)
+    add("2 hosts (8 chips, tp=8, RS+AG)", 8, 1, 8, 0.5)
+
+    print(
+        f"single-chip measured: {TOK_S_1CHIP:.0f} tok/s "
+        f"(8B, {B} reqs, int8 KV + int8 weights)\n"
+    )
+    print(f"{'config':36} {'chips':>5} {'layout':12} {'tok/s':>8} {'eff':>6}")
+    for label, chips, layout, toks, eff in rows:
+        print(f"{label:36} {chips:>5} {layout:12} {toks:>8.0f} {eff:>5.0%}")
+    print(
+        "\nNotes: dp rows move zero cross-replica bytes (disjoint batch +"
+        " pool shards), so decode throughput scaling is ~memory-linear —"
+        " the >=85% 2-host target is met by dp or dp x tp layouts; tp"
+        " beyond 4 trades throughput for per-request latency (step time"
+        f" {step_time(4, 0.5)*1e3:.1f} ms at tp=4 vs"
+        f" {N_LAYERS*T_LAYER_1CHIP*1e3 + T_FIXED*1e3:.1f} ms on 1 chip)."
+    )
+
+
+if __name__ == "__main__":
+    report()
