@@ -1,0 +1,126 @@
+"""attention_probs / return_attn_probs=True — the S_dmask debug surface.
+
+The reference returns the score plane with the realized dropout mask encoded
+in sign bits for testability (dropout.h:26-105, sign encoding :71-77;
+returned from mha_fwd when return_softmax, export.cpp). Our TPU analog is a
+second-pass kernel that reconstructs the exact normalized probabilities from
+the LSE and regenerates the identical counter-based dropout mask, so:
+  - S_dmask rows are true softmax probabilities (visible rows sum to 1),
+  - sign(S_dmask) < 0 exactly where the fwd kernel dropped the entry,
+  - relu(S_dmask) @ V / (1 - p) reproduces the kernel output bit-for-near."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from xf_flash_attention_cutlass_tpu.api import flash_attn_func
+from xf_flash_attention_cutlass_tpu.ops.flash_fwd import attention_probs, flash_fwd
+from xf_flash_attention_cutlass_tpu.utils.testing import (
+    alibi_slopes_ref, max_err, rand,
+)
+
+
+def _manual_probs(q, k, *, causal, window=(-1, -1), softcap=0.0,
+                  alibi_slopes=None):
+    """fp32 oracle probability plane (mirrors ops/reference.py's masking)."""
+    b, h, sq, d = q.shape
+    h_k, sk = k.shape[1], k.shape[2]
+    group = h // h_k
+    kk = jnp.repeat(k, group, axis=1)
+    s = jnp.einsum(
+        "bhqd,bhkd->bhqk", q.astype(jnp.float32), kk.astype(jnp.float32)
+    ) / jnp.sqrt(jnp.float32(d))
+    if softcap > 0.0:
+        s = jnp.tanh(s / softcap) * softcap
+    qpos = jnp.arange(sq)[:, None] + (sk - sq)
+    kpos = jnp.arange(sk)[None, :]
+    if alibi_slopes is not None:
+        s = s - alibi_slopes[None, :, None, None] * jnp.abs(
+            qpos - kpos
+        ).astype(jnp.float32)
+    wl, wr = window
+    if causal:
+        wr = 0
+    keep = jnp.ones((sq, sk), bool)
+    if wr >= 0:
+        keep &= kpos <= qpos + wr
+    if wl >= 0:
+        keep &= kpos >= qpos - wl
+    s = jnp.where(keep, s, -jnp.inf)
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.where(jnp.any(keep, -1)[None, None, :, None], p, 0.0)
+
+
+def test_probs_matches_softmax_gqa():
+    b, h, h_k, sq, sk, d = 2, 4, 2, 192, 256, 64
+    q = rand(jax.random.PRNGKey(0), (b, h, sq, d), jnp.float32)
+    k = rand(jax.random.PRNGKey(1), (b, h_k, sk, d), jnp.float32)
+    v = rand(jax.random.PRNGKey(2), (b, h_k, sk, d), jnp.float32)
+    o, lse = flash_fwd(q, k, v, causal=True)
+    p = attention_probs(q, k, lse, causal=True)
+    assert p.shape == (b, h, sq, sk)
+    ref = _manual_probs(q, k, causal=True)
+    assert max_err(p, ref) < 1e-5
+    # rows (all visible here: sk >= sq offset keeps every row live) sum to 1
+    assert float(jnp.max(jnp.abs(jnp.sum(p, -1) - 1.0))) < 1e-5
+    # P @ V reproduces the kernel output
+    group = h // h_k
+    o2 = jnp.einsum("bhqk,bhkd->bhqd", p, jnp.repeat(v, group, axis=1))
+    assert max_err(o, o2) < 1e-5
+
+
+def test_probs_alibi_softcap_local():
+    b, h, s, d = 1, 3, 256, 32
+    slopes = jnp.asarray(alibi_slopes_ref(h))
+    q = rand(jax.random.PRNGKey(3), (b, h, s, d), jnp.float32)
+    k = rand(jax.random.PRNGKey(4), (b, h, s, d), jnp.float32)
+    v = rand(jax.random.PRNGKey(5), (b, h, s, d), jnp.float32)
+    kw = dict(window=(97, 14), softcap=30.0, alibi_slopes=slopes)
+    o, lse = flash_fwd(q, k, v, **kw)
+    p = attention_probs(q, k, lse, **kw)
+    ref = _manual_probs(q, k, causal=False, window=(97, 14), softcap=30.0,
+                        alibi_slopes=slopes)
+    assert max_err(p, ref) < 1e-5
+
+
+def test_probs_dropout_sign_mask_exact():
+    """The sign-encoded mask must be the *realized* kernel mask: rebuilding
+    the output from relu(S_dmask) reproduces the dropout forward exactly
+    (up to f32 online-rescale rounding)."""
+    p_drop, seed = 0.3, 11
+    b, h, s, d = 1, 2, 512, 64
+    q = rand(jax.random.PRNGKey(0), (b, h, s, d), jnp.float32, scale=0.5)
+    k = rand(jax.random.PRNGKey(1), (b, h, s, d), jnp.float32, scale=0.5)
+    v = rand(jax.random.PRNGKey(2), (b, h, s, d), jnp.float32)
+    o, lse = flash_fwd(q, k, v, causal=True, dropout_p=p_drop,
+                       dropout_seed=seed)
+    sd = attention_probs(q, k, lse, causal=True, dropout_p=p_drop,
+                         dropout_seed=seed)
+    # realized dropout fraction within the reference tolerance (test.py:981)
+    vis = np.tril(np.ones((s, s), bool))[None, None]
+    signs = np.signbit(np.asarray(sd))
+    frac = float(np.mean(signs[np.broadcast_to(vis, signs.shape)]))
+    assert abs(frac - p_drop) < 0.01, frac
+    # exact mask replay: kept probs -> output
+    o2 = jnp.einsum("bhqk,bhkd->bhqd", jnp.maximum(sd, 0.0), v) / (1 - p_drop)
+    assert max_err(o, o2) < 2e-5
+
+
+def test_api_return_attn_probs_triple():
+    b, s, h, d = 2, 128, 2, 64
+    q = rand(jax.random.PRNGKey(0), (b, s, h, d), jnp.bfloat16)
+    k = rand(jax.random.PRNGKey(1), (b, s, h, d), jnp.bfloat16)
+    v = rand(jax.random.PRNGKey(2), (b, s, h, d), jnp.bfloat16)
+    out, lse, sd = flash_attn_func(
+        q, k, v, dropout_p=0.17, causal=True, return_attn_probs=True,
+        dropout_seed=5,
+    )
+    assert out.shape == (b, s, h, d)
+    assert lse.shape == (b, h, s)
+    assert sd.shape == (b, h, s, s)
+    # bf16 path: rebuild within bf16-level tolerance
+    o2 = jnp.einsum(
+        "bhqk,bhkd->bhqd", jnp.maximum(sd, 0.0),
+        v.swapaxes(1, 2).astype(jnp.float32),
+    ) / (1 - 0.17)
+    assert max_err(out.swapaxes(1, 2), o2) < 0.03

@@ -55,7 +55,19 @@ def flash_attn_func(
     softmax_scale: Optional[float] = None,
     dropout_seed: int = 0,
 ):
-    """Dense flash attention (reference: test.py:41-72). Differentiable."""
+    """Dense flash attention (reference: test.py:41-72). Differentiable.
+
+    ``deterministic`` is accepted for signature parity and ignored: the TPU
+    kernels are deterministic by construction (sequential grid accumulation,
+    no atomics), so the reference's deterministic/fast trade-off
+    (flash_api.cpp `deterministic` -> dq_accum splits) has no analog here.
+
+    With ``return_attn_probs=True`` returns ``(out, lse, S_dmask)`` where
+    S_dmask is the (b, h, sq, sk) normalized probability plane with entries
+    the seeded dropout dropped NEGATED (the reference's sign encoding,
+    dropout.h:71-77), regenerated from the same per-block counter seeds the
+    kernel used — suitable for exact mask extraction in tests.
+    """
     del deterministic  # TPU kernels are deterministic by construction
     _check_qkv(q, k, v, 4)
     _check(q.shape[0] == k.shape[0], f"batch mismatch: {q.shape[0]} vs {k.shape[0]}")
@@ -74,7 +86,21 @@ def flash_attn_func(
     )
     out = out.swapaxes(1, 2)
     if return_attn_probs:
-        return out, lse, None  # S_dmask not materialized on TPU
+        from xf_flash_attention_cutlass_tpu.ops.flash_fwd import attention_probs
+
+        s_dmask = attention_probs(
+            q.swapaxes(1, 2),
+            k.swapaxes(1, 2),
+            lse,
+            causal=causal,
+            window=window_size,
+            softcap=softcap,
+            alibi_slopes=alibi_slopes,
+            dropout_p=dropout_p,
+            dropout_seed=dropout_seed,
+            softmax_scale=softmax_scale,
+        )
+        return out, lse, s_dmask
     return out
 
 
@@ -198,6 +224,8 @@ def flash_attn_varlen_func(
             dropout_p=dropout_p, dropout_seed=dropout_seed,
         )
         if return_attn_probs:
+            # S_dmask is served only by the dense entry (attention_probs);
+            # varlen dropout is validated statistically (test_dropout.py)
             return out, lse, None
         return out
     out, lse = flash_attn_varlen(
@@ -218,6 +246,8 @@ def flash_attn_varlen_func(
         softmax_scale=softmax_scale,
     )
     if return_attn_probs:
+        # S_dmask is served only by the dense entry (attention_probs);
+        # varlen dropout is validated statistically (test_dropout.py)
         return out, lse, None
     return out
 

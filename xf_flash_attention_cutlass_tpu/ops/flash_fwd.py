@@ -336,6 +336,180 @@ def _flash_fwd_kernel(
         lse_ref[0, 0] = lse.astype(lse_ref.dtype)  # (bq, 1)
 
 
+def _resolve_blocks(sq, sk, block_q, block_k, dropout_p):
+    """Block-size policy shared by the fwd kernel and the probs debug pass —
+    the two must partition identically so the per-block dropout counters
+    (and thus the regenerated masks) line up."""
+    bq = block_q or min(1024, next_multiple(sq, 128))
+    bk = block_k or min(1024, next_multiple(sk, 128))
+    if dropout_p > 0.0:
+        bq = min(512, next_multiple(sq, 128))
+        bk = min(512, next_multiple(sk, 128))
+    bq = min(bq, next_multiple(sq, 128))
+    bk = min(bk, next_multiple(sk, 128))
+    return bq, bk
+
+
+def _probs_kernel(params: FlashParams, seq_k_padded: int, nq_nk, *refs):
+    """Debug second pass: exact normalized attention probabilities with the
+    dropout mask sign-encoded (negative = dropped) — the TPU analog of the
+    reference's returned S_dmask (dropout.h:26-105, sign encoding at
+    dropout.h:71-77). Regenerates the identical counter-based keep mask the
+    fwd kernel used (same (seed, blk_idx) keys), so the signs are the
+    *actual* realized mask, not a statistical stand-in."""
+    nq, nk = nq_nk
+    it = iter(refs)
+    q_ref = next(it)
+    k_ref = next(it)
+    alibi_ref = next(it) if params.has_alibi else None
+    lse_ref = next(it)
+    seed_ref = next(it) if params.dropout_p > 0.0 else None
+    s_ref = next(it)
+
+    bq, bk = params.block_q, params.block_k
+    wl, wr = params.window_resolved
+    ib = pl.program_id(0)
+    ih = pl.program_id(1)
+    iq = pl.program_id(2)
+    ik = pl.program_id(3)
+
+    row_in_blk = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
+    col_in_blk = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+    offset = params.seq_k - params.seq_q
+    qpos = iq * bq + row_in_blk + offset
+    kpos = ik * bk + col_in_blk
+
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    if params.softcap > 0.0:
+        s = jnp.tanh(s / params.softcap) * params.softcap
+    if params.has_alibi:
+        slope = alibi_ref[ib, ih]
+        s = s - slope * jnp.abs(qpos - kpos).astype(jnp.float32)
+
+    keep = jnp.ones((bq, bk), jnp.bool_)
+    if params.masks_cols_right:
+        keep = jnp.logical_and(keep, kpos <= qpos + wr)
+    if params.masks_cols_left:
+        keep = jnp.logical_and(keep, kpos >= qpos - wl)
+    if seq_k_padded != params.seq_k:
+        keep = jnp.logical_and(keep, kpos < params.seq_k)
+
+    # (bq, 1) f32; -inf marks empty rows (and padded rows are sliced off by
+    # the wrapper). Clamp before the exp so no inf flows through arithmetic.
+    lse = lse_ref[0, 0]
+    row_live = lse > -3e38
+    lse_safe = jnp.where(row_live, lse, 0.0)
+    p = jnp.where(
+        jnp.logical_and(keep, row_live), jnp.exp(s - lse_safe), 0.0
+    )
+    if params.dropout_p > 0.0:
+        h_all = pl.num_programs(1)
+        blk_idx = ((ib * h_all + ih) * nq + iq) * nk + ik
+        keep_drop = dropout_keep_mask(params, seed_ref[0, 0], blk_idx, (bq, bk))
+        p = jnp.where(keep_drop, p, -p)
+    s_ref[0, 0] = p
+
+
+def attention_probs(
+    q: jax.Array,  # (b, h, sq, d)
+    k: jax.Array,  # (b, h_k, sk, d)
+    lse: jax.Array,  # (b, h, sq) f32 from flash_fwd
+    *,
+    causal: bool = False,
+    window: Tuple[int, int] = (-1, -1),
+    softcap: float = 0.0,
+    softmax_scale: Optional[float] = None,
+    alibi_slopes: Optional[jax.Array] = None,
+    dropout_p: float = 0.0,
+    dropout_seed: int = 0,
+    block_q: Optional[int] = None,
+    block_k: Optional[int] = None,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Materialize the (b, h, sq, sk) attention-probability plane for
+    debugging/tests: softmax(QK^T) with masking applied, entries that the
+    seeded dropout dropped returned NEGATED (the reference's S_dmask sign
+    convention). Must be called with the same q/k/flags/seed/blocks as the
+    flash_fwd that produced `lse`. Debug path: materializes seq_q x seq_k."""
+    if interpret is None:
+        interpret = default_interpret()
+    if not interpret and q.dtype == jnp.float16:
+        q, k = q.astype(jnp.float32), k.astype(jnp.float32)
+    b, h, sq, d = q.shape
+    _, h_k, sk, _ = k.shape
+    group = h // h_k
+    scale = softmax_scale if softmax_scale is not None else 1.0 / math.sqrt(d)
+    d_pad = max(next_multiple(d, 128), 128)
+    bq, bk = _resolve_blocks(sq, sk, block_q, block_k, dropout_p)
+    sq_pad = next_multiple(sq, bq)
+    sk_pad = next_multiple(sk, bk)
+
+    q = (q.astype(jnp.float32) * scale).astype(q.dtype)
+    qp = jnp.pad(q, ((0, 0), (0, 0), (0, sq_pad - sq), (0, d_pad - d)))
+    kp = jnp.pad(k, ((0, 0), (0, 0), (0, sk_pad - sk), (0, d_pad - d)))
+    # padded query rows produce garbage probs that the final slice discards;
+    # pad with 0 (finite) so no inf enters kernel arithmetic
+    lse_p = jnp.pad(
+        lse.astype(jnp.float32), ((0, 0), (0, 0), (0, sq_pad - sq))
+    )[..., None]
+
+    has_alibi = alibi_slopes is not None
+    if has_alibi:
+        alibi_slopes = jnp.asarray(alibi_slopes, jnp.float32)
+        if alibi_slopes.ndim == 1:
+            alibi_slopes = jnp.broadcast_to(alibi_slopes[None, :], (b, h))
+
+    params = FlashParams(
+        seq_q=sq, seq_k=sk, q_heads=h, kv_heads=h_k, scale=scale,
+        causal=causal, window=window, softcap=softcap, has_alibi=has_alibi,
+        dropout_p=dropout_p, block_q=bq, block_k=bk,
+        interp_prng=bool(interpret),
+    )
+    nq, nk = sq_pad // bq, sk_pad // bk
+
+    in_specs = [
+        pl.BlockSpec((1, 1, bq, d_pad), lambda ib, ih, iq, ik: (ib, ih, iq, 0)),
+        pl.BlockSpec(
+            (1, 1, bk, d_pad), lambda ib, ih, iq, ik: (ib, ih // group, ik, 0)
+        ),
+    ]
+    inputs = [qp, kp]
+    if has_alibi:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        inputs.append(alibi_slopes)
+    in_specs.append(
+        pl.BlockSpec((1, 1, bq, 1), lambda ib, ih, iq, ik: (ib, ih, iq, 0))
+    )
+    inputs.append(lse_p)
+    if dropout_p > 0.0:
+        in_specs.append(
+            pl.BlockSpec(
+                (1, 1), lambda ib, ih, iq, ik: (0, 0), memory_space=pltpu.SMEM
+            )
+        )
+        inputs.append(jnp.asarray([[dropout_seed]], jnp.int32))
+
+    probs = pl.pallas_call(
+        functools.partial(_probs_kernel, params, sk_pad, (nq, nk)),
+        grid=(b, h, nq, nk),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, 1, bq, bk), lambda ib, ih, iq, ik: (ib, ih, iq, ik)
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, h, sq_pad, sk_pad), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(*inputs)
+    return probs[:, :, :sq, :sk]
+
+
 def flash_fwd(
     q: jax.Array,  # (b, h, sq, d)
     k: jax.Array,  # (b, h_k, sk, d)
@@ -382,16 +556,10 @@ def flash_fwd(
     # there on v5e (measured: 53 TF/s @512^2 -> 84 TF/s @1024^2, worse again
     # at 2048^2 from VMEM pressure)
     d_pad = max(next_multiple(d, 128), 128)
-    bq = block_q or min(1024, next_multiple(sq, 128))
-    bk = block_k or min(1024, next_multiple(sk, 128))
-    if dropout_p > 0.0:
-        # the backward replays the dropout mask from the same per-block
-        # counter seeds, which requires identical block partitioning in fwd
-        # and bwd — pin both to the canonical 512 tiles (flash_bwd.py)
-        bq = min(512, next_multiple(sq, 128))
-        bk = min(512, next_multiple(sk, 128))
-    bq = min(bq, next_multiple(sq, 128))
-    bk = min(bk, next_multiple(sk, 128))
+    # dropout pins 512 tiles: the backward (and the attention_probs debug
+    # pass) replay the dropout mask from the same per-block counter seeds,
+    # which requires identical block partitioning everywhere (flash_bwd.py)
+    bq, bk = _resolve_blocks(sq, sk, block_q, block_k, dropout_p)
     sq_pad = next_multiple(sq, bq)
     sk_pad = next_multiple(sk, bk)
 
