@@ -125,7 +125,10 @@ def _mlp(layer, x, cfg, axis_name=None):
     if "router" in layer:
         from xf_flash_attention_cutlass_tpu.models.moe import moe_mlp_block
 
-        out, _ = moe_mlp_block(layer, x, cfg)
+        # axis_name must flow through: shard_params shards expert ffn
+        # weights over tp (parallel/tp.py), so the expert down-projection
+        # is a partial sum that moe_mlp_block psums (models/moe.py).
+        out, _ = moe_mlp_block(layer, x, cfg, axis_name=axis_name)
         return out
     return mlp_block(layer, x, cfg, axis_name=axis_name)
 
