@@ -247,8 +247,18 @@ def _flash_fwd_kernel(
             s = jnp.where(keep, s, NEG_INF)
 
         # ---- online softmax rescale (softmax.h:136-167) ----------------
+        # row max as an explicit halving tree: full-width VPU maxes on
+        # lane-aligned halves down to 128 lanes, then one in-vreg reduce.
+        # Measured +1.5-2% over the monolithic lane reduce at 1024^2 tiles
+        # (benchmarks/probe_fwd_mfu_r3.py "treemax"; exact numerics). The
+        # bf16-tree variant and all larger restructures measured worse.
         m_prev = m_scr[...]  # (bq, 1)
-        m_cur = jnp.max(s, axis=1, keepdims=True)
+        t = s
+        w = t.shape[1]
+        while w > 128 and w % 2 == 0 and (w // 2) % 128 == 0:
+            t = jnp.maximum(t[:, : w // 2], t[:, w // 2 :])
+            w //= 2
+        m_cur = jnp.max(t, axis=1, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur)
         if fast_exp:
             p = jnp.exp((s - m_new).astype(jnp.bfloat16))
