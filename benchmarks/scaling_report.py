@@ -55,7 +55,7 @@ def report():
         eff = toks / (chips * TOK_S_1CHIP)
         rows.append((label, chips, f"dp={dp} tp={tp}", toks, eff))
 
-    add("1 chip", 1, 1, 1, 0.0)
+    add("1 chip [measured]", 1, 1, 1, 0.0)
     add("1 host (4 chips, pure dp)", 4, 4, 1, 0.0)
     add("1 host (4 chips, tp=4, psum)", 4, 1, 4, 0.0)
     add("1 host (4 chips, tp=4, RS+AG)", 4, 1, 4, 0.5)
@@ -78,6 +78,22 @@ def report():
         f" {step_time(4, 0.5)*1e3:.1f} ms at tp=4 vs"
         f" {N_LAYERS*T_LAYER_1CHIP*1e3 + T_FIXED*1e3:.1f} ms on 1 chip)."
     )
+    # Provenance (round 3): the single-chip row is MEASURED (bench_suite,
+    # real v5e). Every tp>1 row is MODELED: the ICI term comes from the
+    # ring model, and the overlap fraction CANNOT be measured in this
+    # environment (one chip; collectives are no-ops at tp=1, so an RS+AG
+    # vs psum A/B compiles to identical programs). The RS+AG structure
+    # itself IS on by default in the mesh engine (serve/engine.py
+    # _run_decode/_run_verify sp_batch=True, falls back to psums when
+    # b % tp != 0 or MoE) and is token-identity-tested on the CPU mesh.
+    # Sensitivity of the modeled rows to the overlap assumption:
+    print("\noverlap sensitivity (tp=4, 4 chips):")
+    for ov in (0.0, 0.5, 1.0):
+        t = step_time(4, ov)
+        print(
+            f"  overlap={ov:.1f}: {B / t:>8.0f} tok/s"
+            f"  (eff {B / t / (4 * TOK_S_1CHIP):.0%})"
+        )
 
 
 if __name__ == "__main__":

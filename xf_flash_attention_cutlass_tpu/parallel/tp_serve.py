@@ -130,6 +130,7 @@ def tp_verify_step(
     quant: Optional[str] = None,
     interpret: Optional[bool] = None,
     dp_axis: bool = False,
+    sp_batch: bool = False,  # RS+AG per layer (engine.verify_core sp_batch)
 ):
     """Tensor-parallel speculative verification: the L-token analog of
     tp_decode_step. Returns ((b, L, vocab) logits, pools) with pools still
@@ -147,6 +148,7 @@ def tp_verify_step(
             quant=quant,
             interpret=interpret,
             axis_name=TP,
+            sp_batch=sp_batch,
         ),
         mesh=mesh,
         in_specs=(pspecs, bspec, kspecs, bspec, bspec),
@@ -208,7 +210,8 @@ tp_decode_step_jit = functools.partial(
 
 tp_verify_step_jit = functools.partial(
     jax.jit,
-    static_argnames=("cfg", "mesh", "quant", "interpret", "dp_axis"),
+    static_argnames=("cfg", "mesh", "quant", "interpret", "dp_axis",
+                     "sp_batch"),
     donate_argnames=("pools",),
 )(tp_verify_step)
 

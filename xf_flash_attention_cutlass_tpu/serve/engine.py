@@ -798,12 +798,18 @@ class DecodeEngine:
                 "sample_key",
                 jax.random.fold_in(self._sample_base, self._step_count),
             )
+            # sp_batch: per-layer RS+AG instead of psums — the residual
+            # stream stays batch-sharded so the collectives can overlap
+            # norms/matmuls over ICI. verify_core falls back to plain
+            # psums by itself when b % tp != 0 or the model is MoE, so
+            # enabling it unconditionally is safe (and bitwise-identical:
+            # same pairwise adds, different schedule).
             return tp_decode_step_jit(
                 self._decode_params, tokens, self.pools, bt, kv_lens,
                 cfg=self.cfg, mesh=self.mesh, quant=self.ecfg.kv_quant,
                 interpret=self.interpret, temperature=temps, sample_key=key,
                 top_k=self.ecfg.top_k, top_p=self.ecfg.top_p,
-                dp_axis=self.dp > 1,
+                dp_axis=self.dp > 1, sp_batch=True,
             )
         return decode_step(
             self._decode_params, tokens, self.pools, bt, kv_lens,
@@ -820,6 +826,7 @@ class DecodeEngine:
                 self._decode_params, tokens, self.pools, bt, kv_lens,
                 cfg=self.cfg, mesh=self.mesh, quant=self.ecfg.kv_quant,
                 interpret=self.interpret, dp_axis=self.dp > 1,
+                sp_batch=True,
             )
         return verify_step(
             self._decode_params, tokens, self.pools, bt, kv_lens,
