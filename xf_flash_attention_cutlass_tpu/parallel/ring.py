@@ -71,6 +71,22 @@ def _ring_fwd_impl(q, k, v, cfg):
                 jnp.full((b, h, s_q), -jnp.inf, jnp.float32),
             )
 
+        # Transfer/compute overlap: the rotation is issued BEFORE the
+        # attention kernel and consumes only the carry-in (kc, vc), while
+        # attend() also reads only (kc, vc) — the ppermute and the kernel
+        # have no data dependency in either direction, so XLA's scheduler
+        # is free to run hop t+1's transfer under hop t's compute (the
+        # inter-device analog of the dense kernel's K-prefetch pipeline,
+        # flash_fwd_kernel.h:1016-1120). Only the final hop's dead
+        # rotation is skipped.
+        kc_next, vc_next = jax.lax.cond(
+            t < n - 1,
+            lambda kv: tuple(
+                jax.lax.ppermute(x, axis_name, perm) for x in kv
+            ),
+            lambda kv: kv,
+            (kc, vc),
+        )
         if causal:
             # chunks entirely in this device's future are fully masked:
             # skip the kernel, merge the identity partial (the intra-chip
@@ -79,16 +95,7 @@ def _ring_fwd_impl(q, k, v, cfg):
         else:
             o_t, lse_t = attend(None)
         o, lse = merge_two(o, lse, o_t, lse_t)
-        # rotate kv to the next device (skip the final dead rotation)
-        kc, vc = jax.lax.cond(
-            t < n - 1,
-            lambda kv: tuple(
-                jax.lax.ppermute(x, axis_name, perm) for x in kv
-            ),
-            lambda kv: kv,
-            (kc, vc),
-        )
-        return o, lse, kc, vc
+        return o, lse, kc_next, vc_next
 
     o0 = jnp.zeros((b, h, s_q, d), jnp.float32)
     lse0 = jnp.full((b, h, s_q), -jnp.inf, jnp.float32)
@@ -119,10 +126,35 @@ def _ring_bwd_rule(cfg, res, cts):
     perm = [(i, (i + 1) % n) for i in range(n)]
     do = do.astype(q.dtype)
 
+    # Transfer/compute overlap (round 3): the naive schedule rotates
+    # (kc, vc, dkc + dk_t, dvc + dv_t) AFTER the hop's backward kernel, so
+    # every transfer waits on the compute. Here the dK/dV accumulator
+    # stream travels exactly ONE hop behind its KV chunk: the contribution
+    # computed at hop t is held as `pend` and merged into the accumulator
+    # at hop t+1's send — so the in-loop ppermute consumes only carry-in
+    # values (kc, vc, ak + pend) and has NO data dependency on hop t's
+    # kernel in either direction; XLA can run the transfer under the
+    # compute. Alignment invariant: the acc arriving at hop t belongs to
+    # the chunk computed at hop t-1 (the chunk the resident pend is for),
+    # because both streams rotate once per hop with the acc initialized
+    # one position behind. After n hops the acc on device i holds every
+    # contribution for chunk (i+1) % n except device i's own final-hop
+    # pend; one exposed delivery rotation of (ak + pend) lands the summed
+    # dK/dV on the chunk's owner. Traffic: identical per-hop bytes
+    # (4 tensors), plus one 2-tensor delivery hop and one near-zero hop
+    # (the t=0 acc rotation carries zeros).
     def step(t, carry):
-        dq, kc, vc, dkc, dvc = carry
+        dq, kc, vc, ak, av, pk, pv = carry
         src = (idx - t) % n
 
+        # 1) send: current chunk onward + lagging acc merged with LAST
+        #    hop's contribution — available at hop start, overlaps (2)
+        kc2, vc2, ak2, av2 = tuple(
+            jax.lax.ppermute(x, axis_name, perm)
+            for x in (kc, vc, ak + pk, av + pv)
+        )
+
+        # 2) compute this hop's contribution for the RESIDENT chunk
         def contribute(_):
             qpos, kpos = _positions(idx, src, b, s_q, s_k)
             # global (o, lse, do) residuals: p = exp(s - lse_global) is this
@@ -145,8 +177,8 @@ def _ring_bwd_rule(cfg, res, cts):
         def skip(_):
             return (
                 jnp.zeros((b, h, s_q, d), jnp.float32),
-                jnp.zeros_like(dkc),
-                jnp.zeros_like(dvc),
+                jnp.zeros_like(pk),
+                jnp.zeros_like(pv),
             )
 
         if causal:
@@ -154,21 +186,19 @@ def _ring_bwd_rule(cfg, res, cts):
         else:
             dq_t, dk_t, dv_t = contribute(None)
         dq = dq + dq_t
-        dkc = dkc + dk_t
-        dvc = dvc + dv_t
-        # rotate the KV chunks together with their gradient accumulators;
-        # after the final (n-th) rotation each dK/dV lands back on the
-        # chunk's origin device
-        kc, vc, dkc, dvc = tuple(
-            jax.lax.ppermute(x, axis_name, perm) for x in (kc, vc, dkc, dvc)
-        )
-        return dq, kc, vc, dkc, dvc
+        return dq, kc2, vc2, ak2, av2, dk_t, dv_t
 
     h_k = k.shape[1]
     dq0 = jnp.zeros((b, h, s_q, d), jnp.float32)
-    dk0 = jnp.zeros((b, h_k, s_k, d), jnp.float32)
-    dv0 = jnp.zeros((b, h_k, s_k, d), jnp.float32)
-    dq, _, _, dk, dv = jax.lax.fori_loop(0, n, step, (dq0, k, v, dk0, dv0))
+    dkv0 = jnp.zeros((b, h_k, s_k, d), jnp.float32)
+    dq, _, _, ak, av, pk, pv = jax.lax.fori_loop(
+        0, n, step, (dq0, k, v, dkv0, dkv0, dkv0, dkv0)
+    )
+    # exposed delivery hop: each device holds the full sum for chunk
+    # (idx + 1) % n; one rotation lands it home
+    dk, dv = (
+        jax.lax.ppermute(x, axis_name, perm) for x in (ak + pk, av + pv)
+    )
     return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
 
 
