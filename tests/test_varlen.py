@@ -212,3 +212,132 @@ def test_varlen_seqused_k():
         assert_close_2ref(out[qo:qo + sq][None], ref, lp, mult=2.0)
         qo += sq
         ko += sk
+
+
+def test_varlen_alibi_per_batch():
+    """(batch, heads) ALiBi slopes in packed varlen — reference parity
+    export.cpp:456,470 (its varlen entries accept (b, h) slopes)."""
+    from xf_flash_attention_cutlass_tpu.ops.reference import (
+        attn_bias_from_alibi_slopes,
+    )
+
+    b, h = 4, 4
+    q, k, v, cu_q, cu_k, len_q, len_k = make_ragged(
+        jax.random.PRNGKey(5), b, 97, 140, h, h, 64, jnp.float16
+    )
+    slopes = rand(jax.random.PRNGKey(6), (b, h), jnp.float32) * 0.1
+    out, _ = flash_attn_varlen(
+        q, k, v, cu_q, cu_k, max_seqlen_q=97, max_seqlen_k=140,
+        causal=True, alibi_slopes=slopes,
+    )
+
+    def per_seq(upcast, reorder):
+        outs = []
+        for i in range(b):
+            qi = q[int(cu_q[i]):int(cu_q[i + 1])][None]
+            ki = k[int(cu_k[i]):int(cu_k[i + 1])][None]
+            vi = v[int(cu_k[i]):int(cu_k[i + 1])][None]
+            bias = attn_bias_from_alibi_slopes(
+                slopes[i : i + 1], int(len_q[i]), int(len_k[i]), causal=True
+            )
+            oi, _ = attention_ref(
+                qi, ki, vi, attn_bias=bias, causal=True,
+                upcast=upcast, reorder_ops=reorder,
+            )
+            outs.append(oi[0])
+        return jnp.concatenate(outs, axis=0)
+
+    assert_close_2ref(out, per_seq(True, False), per_seq(False, True))
+
+
+def test_varlen_alibi_per_batch_grads():
+    """Grads flow through the per-row slope plane path (bwd kernels'
+    has_alibi_rows)."""
+    from xf_flash_attention_cutlass_tpu.ops.reference import (
+        attn_bias_from_alibi_slopes,
+    )
+
+    b, h = 2, 2
+    q, k, v, cu_q, cu_k, len_q, len_k = make_ragged(
+        jax.random.PRNGKey(7), b, 80, 100, h, h, 64, jnp.float32
+    )
+    slopes = rand(jax.random.PRNGKey(8), (b, h), jnp.float32) * 0.05
+    g = rand(jax.random.PRNGKey(9), q.shape, jnp.float32)
+
+    def impl_loss(q, k, v):
+        o, _ = flash_attn_varlen(
+            q, k, v, cu_q, cu_k, max_seqlen_q=80, max_seqlen_k=100,
+            causal=True, alibi_slopes=slopes,
+        )
+        return jnp.sum(o * g)
+
+    def ref_loss(q, k, v):
+        outs = []
+        for i in range(b):
+            qi = q[int(cu_q[i]):int(cu_q[i + 1])][None]
+            ki = k[int(cu_k[i]):int(cu_k[i + 1])][None]
+            vi = v[int(cu_k[i]):int(cu_k[i + 1])][None]
+            bias = attn_bias_from_alibi_slopes(
+                slopes[i : i + 1], int(len_q[i]), int(len_k[i]), causal=True
+            )
+            oi, _ = attention_ref(qi, ki, vi, attn_bias=bias, causal=True)
+            outs.append(oi[0])
+        return jnp.sum(jnp.concatenate(outs, axis=0) * g)
+
+    grads = jax.grad(impl_loss, argnums=(0, 1, 2))(q, k, v)
+    grads_ref = jax.grad(ref_loss, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(grads, grads_ref):
+        assert float(jnp.max(jnp.abs(a - b_))) < 3e-4
+
+
+def test_varlen_paged_alibi_per_batch():
+    """(b, h) slopes through the paged varlen path (native kernel slopes)."""
+    import numpy as np
+    from xf_flash_attention_cutlass_tpu.ops.reference import (
+        attn_bias_from_alibi_slopes,
+    )
+    from xf_flash_attention_cutlass_tpu.ops.varlen import flash_attn_varlen_paged
+
+    rng = np.random.default_rng(1)
+    b, h, h_k, d, page = 3, 4, 2, 64, 16
+    kv_lens = [37, 111, 64]
+    q_lens = [5, 20, 64]
+    max_pages, nb = 8, 40
+    kc = rand(jax.random.PRNGKey(1), (nb, page, h_k, d), jnp.float16)
+    vc = rand(jax.random.PRNGKey(2), (nb, page, h_k, d), jnp.float16)
+    bt = jnp.asarray(
+        rng.permutation(nb)[: b * max_pages].reshape(b, max_pages), jnp.int32
+    )
+    total_q = sum(q_lens)
+    q = rand(jax.random.PRNGKey(3), (total_q, h, d), jnp.float16)
+    cu_q = jnp.asarray(np.cumsum([0] + q_lens), jnp.int32)
+    seqused = jnp.asarray(kv_lens, jnp.int32)
+    slopes = rand(jax.random.PRNGKey(4), (b, h), jnp.float32) * 0.1
+
+    out, _ = flash_attn_varlen_paged(
+        q, kc, vc, bt, cu_q, seqused, causal=True, alibi_slopes=slopes
+    )
+
+    kd = kc[np.asarray(bt).reshape(-1)].reshape(b, max_pages * page, h_k, d)
+    vd = vc[np.asarray(bt).reshape(-1)].reshape(b, max_pages * page, h_k, d)
+    off = 0
+    for i in range(b):
+        sq, sk = q_lens[i], kv_lens[i]
+        qi = q[off : off + sq][None]
+        mask = (jnp.arange(max_pages * page) < sk)[None, :]
+        bias = attn_bias_from_alibi_slopes(
+            slopes[i : i + 1], sq, max_pages * page,
+            key_padding_mask=mask, causal=False,
+        )
+        # causal=False bias form with explicit key mask: the |rel-pos| form
+        # the paged kernel also uses (bottom-right aligned via sk - sq)
+        ref, _ = attention_ref(
+            qi, kd[i][None], vd[i][None], key_padding_mask=mask, causal=True,
+            attn_bias=bias,
+        )
+        lp, _ = attention_ref(
+            qi, kd[i][None], vd[i][None], key_padding_mask=mask, causal=True,
+            attn_bias=bias, upcast=False, reorder_ops=True,
+        )
+        assert_close_2ref(out[off : off + sq][None], ref, lp, mult=2.0)
+        off += sq

@@ -30,11 +30,12 @@ _STATIC = (
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def _flash(q, k, v, cfg, alibi_slopes, q_segment_ids, kv_segment_ids,
-           q_positions, kv_positions):
+def _flash(q, k, v, cfg, alibi_slopes, alibi_row_slopes, q_segment_ids,
+           kv_segment_ids, q_positions, kv_positions):
     o, lse = flash_fwd(
         q, k, v,
         alibi_slopes=alibi_slopes,
+        alibi_row_slopes=alibi_row_slopes,
         q_segment_ids=q_segment_ids,
         kv_segment_ids=kv_segment_ids,
         q_positions=q_positions,
@@ -44,25 +45,27 @@ def _flash(q, k, v, cfg, alibi_slopes, q_segment_ids, kv_segment_ids,
     return o, lse
 
 
-def _flash_fwd_rule(q, k, v, cfg, alibi_slopes, q_segment_ids, kv_segment_ids,
-                    q_positions, kv_positions):
-    o, lse = _flash(q, k, v, cfg, alibi_slopes, q_segment_ids,
-                    kv_segment_ids, q_positions, kv_positions)
-    res = (q, k, v, o, lse, alibi_slopes, q_segment_ids, kv_segment_ids,
-           q_positions, kv_positions)
+def _flash_fwd_rule(q, k, v, cfg, alibi_slopes, alibi_row_slopes,
+                    q_segment_ids, kv_segment_ids, q_positions,
+                    kv_positions):
+    o, lse = _flash(q, k, v, cfg, alibi_slopes, alibi_row_slopes,
+                    q_segment_ids, kv_segment_ids, q_positions, kv_positions)
+    res = (q, k, v, o, lse, alibi_slopes, alibi_row_slopes, q_segment_ids,
+           kv_segment_ids, q_positions, kv_positions)
     return (o, lse), res
 
 
 def _flash_bwd_rule(cfg, res, cts):
     from xf_flash_attention_cutlass_tpu.ops.flash_bwd import flash_bwd
 
-    (q, k, v, o, lse, alibi_slopes, q_segment_ids, kv_segment_ids,
-     q_positions, kv_positions) = res
+    (q, k, v, o, lse, alibi_slopes, alibi_row_slopes, q_segment_ids,
+     kv_segment_ids, q_positions, kv_positions) = res
     do, _ = cts  # cotangent wrt LSE is not propagated
     d = dict(cfg)
     dq, dk, dv = flash_bwd(
         q, k, v, o, lse, do,
         alibi_slopes=alibi_slopes,
+        alibi_row_slopes=alibi_row_slopes,
         q_segment_ids=q_segment_ids,
         kv_segment_ids=kv_segment_ids,
         q_positions=q_positions,
@@ -75,7 +78,7 @@ def _flash_bwd_rule(cfg, res, cts):
         softmax_scale=d["softmax_scale"],
         interpret=d["interpret"],
     )
-    return dq, dk, dv, None, None, None, None, None
+    return dq, dk, dv, None, None, None, None, None, None
 
 
 _flash.defvjp(_flash_fwd_rule, _flash_bwd_rule)
@@ -91,6 +94,7 @@ def flash_attention(
     softcap: float = 0.0,
     softmax_scale: Optional[float] = None,
     alibi_slopes: Optional[jax.Array] = None,
+    alibi_row_slopes: Optional[jax.Array] = None,  # (b, h, sq) f32
     q_segment_ids: Optional[jax.Array] = None,
     kv_segment_ids: Optional[jax.Array] = None,
     q_positions: Optional[jax.Array] = None,
@@ -115,5 +119,5 @@ def flash_attention(
             "interpret": interpret,
         }.items()
     )
-    return _flash(q, k, v, cfg, alibi_slopes, q_segment_ids, kv_segment_ids,
-                  q_positions, kv_positions)
+    return _flash(q, k, v, cfg, alibi_slopes, alibi_row_slopes,
+                  q_segment_ids, kv_segment_ids, q_positions, kv_positions)

@@ -109,8 +109,9 @@ def _keep_mask(params, seq_k_padded, qpos, kpos, kcol,
 
 
 def _recompute_p_ds(params, seq_k_padded, q, k, v, do, lse_row, delta_row,
-                    qpos, kpos, kcol, alibi_ref, qseg_ref, kseg_ref,
-                    kv_lens_ref, seed_ref, ib, ih, iq, ik, nq, nk, h_all):
+                    qpos, kpos, kcol, alibi_ref, arows_ref, qseg_ref,
+                    kseg_ref, kv_lens_ref, seed_ref, ib, ih, iq, ik, nq, nk,
+                    h_all):
     """Shared recompute: returns (p_for_dv, ds_raw) both (bq, bk) fp32."""
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -122,6 +123,9 @@ def _recompute_p_ds(params, seq_k_padded, q, k, v, do, lse_row, delta_row,
                       qseg_ref, kseg_ref, kv_lens_ref, ib)
     if params.has_alibi:
         s = s - alibi_ref[ib, ih] * jnp.abs(qpos - kpos).astype(jnp.float32)
+    elif params.has_alibi_rows:
+        # per-q-token slope plane (varlen per-sequence slopes): (bq, 1)
+        s = s - arows_ref[0, 0] * jnp.abs(qpos - kpos).astype(jnp.float32)
     # p = exp(s - lse); empty rows (lse = -inf) and masked entries -> 0
     lse_safe = jnp.where(jnp.isfinite(lse_row), lse_row, 3.0e38)
     p = jnp.exp(s - lse_safe)
@@ -162,6 +166,7 @@ def _bwd_fused_kernel(params: FlashParams, seq_k_padded: int, group: int, *refs)
     it = iter(refs)
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref = (next(it) for _ in range(6))
     alibi_ref = next(it) if params.has_alibi else None
+    arows_ref = next(it) if params.has_alibi_rows else None
     kv_lens_ref = next(it) if params.has_kv_lens else None
     qseg_ref = next(it) if params.has_segments else None
     kseg_ref = next(it) if params.has_segments else None
@@ -201,8 +206,8 @@ def _bwd_fused_kernel(params: FlashParams, seq_k_padded: int, group: int, *refs)
             params, seq_k_padded,
             q_ref[0, 0], k_ref[0, 0], v_ref[0, 0], do_ref[0, 0],
             lse_ref[0, 0], delta_ref[0, 0],
-            qpos, kpos, kcol, alibi_ref, qseg_ref, kseg_ref, kv_lens_ref,
-            seed_ref, ib, ih, iq, ik, nq, nk, h_all,
+            qpos, kpos, kcol, alibi_ref, arows_ref, qseg_ref, kseg_ref,
+            kv_lens_ref, seed_ref, ib, ih, iq, ik, nq, nk, h_all,
         )
         dq_ref[0, 0] += jax.lax.dot_general(
             ds.astype(k_ref.dtype), k_ref[0, 0],
@@ -231,6 +236,7 @@ def _dq_kernel(params: FlashParams, seq_k_padded: int, grid_nq_nk, *refs):
         ik_tab = next(it)
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref = (next(it) for _ in range(6))
     alibi_ref = next(it) if params.has_alibi else None
+    arows_ref = next(it) if params.has_alibi_rows else None
     kv_lens_ref = next(it) if params.has_kv_lens else None
     qseg_ref = next(it) if params.has_segments else None
     kseg_ref = next(it) if params.has_segments else None
@@ -266,8 +272,8 @@ def _dq_kernel(params: FlashParams, seq_k_padded: int, grid_nq_nk, *refs):
             params, seq_k_padded,
             q_ref[0, 0], k_ref[0, 0], v_ref[0, 0], do_ref[0, 0],
             lse_ref[0, 0], delta_ref[0, 0],
-            qpos, kpos, kcol, alibi_ref, qseg_ref, kseg_ref, kv_lens_ref,
-            seed_ref, ib, ih, iq, ik, nq, nk, h_all,
+            qpos, kpos, kcol, alibi_ref, arows_ref, qseg_ref, kseg_ref,
+            kv_lens_ref, seed_ref, ib, ih, iq, ik, nq, nk, h_all,
         )
         dq_ref[0, 0] += jax.lax.dot_general(
             ds.astype(k_ref.dtype), k_ref[0, 0],
@@ -287,6 +293,7 @@ def _dkv_kernel(params: FlashParams, seq_k_padded: int, group: int,
         ik_tab = next(it)  # ik-major; sentinel -1 last
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref = (next(it) for _ in range(6))
     alibi_ref = next(it) if params.has_alibi else None
+    arows_ref = next(it) if params.has_alibi_rows else None
     kv_lens_ref = next(it) if params.has_kv_lens else None
     qseg_ref = next(it) if params.has_segments else None
     kseg_ref = next(it) if params.has_segments else None
@@ -332,8 +339,8 @@ def _dkv_kernel(params: FlashParams, seq_k_padded: int, group: int,
             params, seq_k_padded,
             q_ref[0, 0], k_ref[0, 0], v_ref[0, 0], do_ref[0, 0],
             lse_ref[0, 0], delta_ref[0, 0],
-            qpos, kpos, kcol, alibi_ref, qseg_ref, kseg_ref, kv_lens_ref,
-            seed_ref, ib, ih, iq, ik, nq, nk, h_all,
+            qpos, kpos, kcol, alibi_ref, arows_ref, qseg_ref, kseg_ref,
+            kv_lens_ref, seed_ref, ib, ih, iq, ik, nq, nk, h_all,
         )
         # dV += Pᵀ · dO ; dK += dSᵀ · Q   (flash_bwd_kernel.h:437-651)
         dv_ref[0, 0] += jax.lax.dot_general(
@@ -359,6 +366,7 @@ def flash_bwd(
     softcap: float = 0.0,
     softmax_scale: Optional[float] = None,
     alibi_slopes: Optional[jax.Array] = None,
+    alibi_row_slopes: Optional[jax.Array] = None,  # (b, h, sq) f32
     kv_lens: Optional[jax.Array] = None,
     q_segment_ids: Optional[jax.Array] = None,
     kv_segment_ids: Optional[jax.Array] = None,
@@ -433,6 +441,14 @@ def flash_bwd(
         alibi_slopes = jnp.asarray(alibi_slopes, jnp.float32)
         if alibi_slopes.ndim == 1:
             alibi_slopes = jnp.broadcast_to(alibi_slopes[None, :], (b, h))
+    has_alibi_rows = alibi_row_slopes is not None
+    if has_alibi_rows:
+        if has_alibi:
+            raise ValueError("alibi_slopes and alibi_row_slopes are exclusive")
+        alibi_row_slopes = jnp.pad(
+            jnp.asarray(alibi_row_slopes, jnp.float32),
+            ((0, 0), (0, 0), (0, sq_pad - sq)),
+        )[..., None]  # (b, h, sq_pad, 1)
     has_kv_lens = kv_lens is not None
     if has_kv_lens:
         kv_lens = kv_lens.astype(jnp.int32).reshape(b, 1)
@@ -440,7 +456,8 @@ def flash_bwd(
     params = FlashParams(
         seq_q=sq, seq_k=sk, q_heads=h, kv_heads=h_k, scale=scale,
         causal=causal, window=tuple(window), softcap=softcap,
-        has_alibi=has_alibi, has_segments=has_segments,
+        has_alibi=has_alibi, has_alibi_rows=has_alibi_rows,
+        has_segments=has_segments,
         has_positions=has_positions, has_kv_lens=has_kv_lens,
         dropout_p=dropout_p, block_q=bq, block_k=bk,
         interp_prng=bool(interpret),
@@ -468,6 +485,12 @@ def flash_bwd(
             # over a (b, h) array violates Mosaic's block-shape rule
             specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
             extra.append(alibi_slopes)
+        if has_alibi_rows:
+            specs.append(pl.BlockSpec(
+                (1, 1, bq, 1),
+                lambda *i: (i[0], hmap(*i), qblk(*i), 0),
+            ))
+            extra.append(alibi_row_slopes)
         if has_kv_lens:
             specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
             extra.append(kv_lens)

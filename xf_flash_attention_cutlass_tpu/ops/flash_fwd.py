@@ -66,6 +66,11 @@ class FlashParams:
     window: Tuple[int, int] = (-1, -1)  # (left, right); -1 = unbounded
     softcap: float = 0.0
     has_alibi: bool = False
+    # per-(batch, head, q-token) ALiBi slope plane — the varlen surface
+    # for the reference's (batch, num_heads) slopes (export.cpp:456,470):
+    # packed varlen runs at b=1, so a scalar [ib, ih] slope cannot vary by
+    # sequence; the wrapper builds a per-row plane from segment ids instead
+    has_alibi_rows: bool = False
     has_segments: bool = False
     has_positions: bool = False  # explicit q/kv position arrays (varlen)
     has_kv_lens: bool = False  # per-batch dynamic kv lengths (kvcache)
@@ -113,6 +118,7 @@ def _flash_fwd_kernel(
     k_ref = next(it)
     v_ref = next(it)
     alibi_ref = next(it) if params.has_alibi else None
+    arows_ref = next(it) if params.has_alibi_rows else None  # (1,1,bq,1)
     kv_lens_ref = next(it) if params.has_kv_lens else None
     qseg_ref = next(it) if params.has_segments else None
     kseg_ref = next(it) if params.has_segments else None
@@ -235,12 +241,14 @@ def _flash_fwd_kernel(
             elif seq_k_padded != params.seq_k:
                 keep = jnp.logical_and(keep, kcol < params.seq_k)
 
-        if params.has_alibi:
+        if params.has_alibi or params.has_alibi_rows:
             # -slope * |distance|; for causal this differs from the
             # reference's row-free form (test.py:260-261) by a per-row
             # constant, which softmax cancels. Slope is NOT pre-scaled
             # (we add bias after scaling, like attention_ref).
-            slope = alibi_ref[ib, ih]
+            slope = (
+                alibi_ref[ib, ih] if params.has_alibi else arows_ref[0, 0]
+            )  # scalar, or (bq, 1) row plane
             s = s - slope * jnp.abs(qpos - kpos).astype(jnp.float32)
 
         if keep is not None:
@@ -289,7 +297,8 @@ def _flash_fwd_kernel(
         m_scr[...] = m_new
         l_scr[...] = l_new
 
-    if any_elementwise_mask and not params.has_alibi:
+    if (any_elementwise_mask and not params.has_alibi
+            and not params.has_alibi_rows):
         # blocks fully inside the visible region skip the mask arithmetic
         # entirely (the bulk of a causal/local/varlen grid) — the runtime
         # analog of the reference's Is_even_MN/no-mask mainloop split
@@ -530,6 +539,9 @@ def flash_fwd(
     softcap: float = 0.0,
     softmax_scale: Optional[float] = None,
     alibi_slopes: Optional[jax.Array] = None,  # (h,) or (b, h) fp32
+    alibi_row_slopes: Optional[jax.Array] = None,  # (b, h, sq) fp32 — per-
+    # q-token slopes (packed varlen with per-sequence slopes); exclusive
+    # with alibi_slopes
     kv_lens: Optional[jax.Array] = None,  # (b,) int32
     q_segment_ids: Optional[jax.Array] = None,  # (b, sq) int32
     kv_segment_ids: Optional[jax.Array] = None,  # (b, sk) int32
@@ -603,6 +615,16 @@ def flash_fwd(
         alibi_slopes = jnp.asarray(alibi_slopes, jnp.float32)
         if alibi_slopes.ndim == 1:
             alibi_slopes = jnp.broadcast_to(alibi_slopes[None, :], (b, h))
+    has_alibi_rows = alibi_row_slopes is not None
+    if has_alibi_rows:
+        if has_alibi:
+            raise ValueError(
+                "alibi_slopes and alibi_row_slopes are exclusive"
+            )
+        alibi_row_slopes = jnp.pad(
+            jnp.asarray(alibi_row_slopes, jnp.float32),
+            ((0, 0), (0, 0), (0, sq_pad - sq)),
+        )[..., None]  # (b, h, sq_pad, 1): unit lane dim (Mosaic block rule)
     has_kv_lens = kv_lens is not None
     if has_kv_lens:
         kv_lens = kv_lens.astype(jnp.int32).reshape(b, 1)
@@ -617,6 +639,7 @@ def flash_fwd(
         window=window,
         softcap=softcap,
         has_alibi=has_alibi,
+        has_alibi_rows=has_alibi_rows,
         has_segments=has_segments,
         has_positions=has_positions,
         has_kv_lens=has_kv_lens,
@@ -677,6 +700,11 @@ def flash_fwd(
         # (interpret mode does not check it; a real compile does)
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
         inputs.append(alibi_slopes)
+    if has_alibi_rows:
+        in_specs.append(pl.BlockSpec(
+            (1, 1, bq, 1), smap(lambda ib, ih, iq, ik: (ib, ih, iq, 0))
+        ))
+        inputs.append(alibi_row_slopes)
     if has_kv_lens:
         in_specs.append(
             pl.BlockSpec(memory_space=pltpu.SMEM)

@@ -36,6 +36,18 @@ def segments_from_cu_seqlens(cu_seqlens: jax.Array, total: int) -> jax.Array:
     return seg.astype(jnp.int32)
 
 
+
+def _row_slopes_from_segments(alibi_slopes, qseg):
+    """(nseq, h)-capable slopes -> per-token (1, h, total_q) plane: token i
+    uses its sequence's slope row; pad/ragged tokens (qseg < 0) get slope 0
+    (their rows are fully masked anyway). The packed-kernel surface for the
+    reference's (batch, num_heads) slopes (export.cpp:456,470)."""
+    seg_c = jnp.clip(qseg, 0, alibi_slopes.shape[0] - 1)
+    rows = alibi_slopes[seg_c, :]  # (total_q, h)
+    rows = jnp.where((qseg >= 0)[:, None], rows, 0.0)
+    return rows.T[None]  # (1, h, total_q)
+
+
 def flash_attn_varlen(
     q: jax.Array,  # (total_q, h, d)
     k: jax.Array,  # (total_k, h_k, d)
@@ -94,17 +106,19 @@ def flash_attn_varlen(
     seg_clip_k = jnp.clip(kseg, 0, None)
     kpos = jnp.where(kseg >= 0, kidx - cu_k[seg_clip_k], 2**30).astype(jnp.int32)
 
+    alibi_row_slopes = None
     if alibi_slopes is not None:
         alibi_slopes = jnp.asarray(alibi_slopes, jnp.float32)
-        if alibi_slopes.ndim != 1:
-            raise NotImplementedError(
-                "per-batch alibi slopes are not supported in packed varlen mode"
-            )
+        if alibi_slopes.ndim == 2:
+            # (batch, heads) slopes: build the per-token slope plane
+            alibi_row_slopes = _row_slopes_from_segments(alibi_slopes, qseg)
+            alibi_slopes = None
 
     return _packed_attention(
         q, k, v, qseg, kseg, qpos, kpos,
         causal=causal, window=window, softcap=softcap,
         softmax_scale=softmax_scale, alibi_slopes=alibi_slopes,
+        alibi_row_slopes=alibi_row_slopes,
         dropout_p=dropout_p, dropout_seed=dropout_seed,
         block_q=block_q, block_k=block_k, interpret=interpret,
     )
@@ -114,6 +128,7 @@ def _packed_attention(
     q, k, v, qseg, kseg, qpos, kpos, *,
     causal, window, softcap, softmax_scale, alibi_slopes,
     dropout_p, dropout_seed, block_q, block_k, interpret,
+    alibi_row_slopes=None,
 ):
 
     out, lse = flash_attention(
@@ -125,6 +140,7 @@ def _packed_attention(
         softcap=softcap,
         softmax_scale=softmax_scale,
         alibi_slopes=alibi_slopes,
+        alibi_row_slopes=alibi_row_slopes,
         q_segment_ids=qseg[None],
         kv_segment_ids=kseg[None],
         q_positions=qpos[None],
@@ -214,14 +230,13 @@ def flash_attn_varlen_paged(
     q_pad = q[src_c.reshape(-1)].reshape(b, sq_max, h, d)
 
     if alibi_slopes is not None:
-        alibi_slopes = jnp.asarray(alibi_slopes, jnp.float32)
-        if alibi_slopes.ndim != 1:
-            raise NotImplementedError(
-                "per-batch alibi slopes are not supported in packed varlen mode"
-            )
         # the paged kernel's alibi uses |qpos - kcol| relative distances,
-        # identical for the right-aligned rows; broadcast to (b, h)
-        alibi_slopes = jnp.broadcast_to(alibi_slopes[None], (b, h))
+        # identical for the right-aligned rows; the kernel takes (b, h)
+        # slopes natively, so per-batch (b, h) slopes pass straight through
+        # (export.cpp:456,470 parity)
+        alibi_slopes = jnp.asarray(alibi_slopes, jnp.float32)
+        if alibi_slopes.ndim == 1:
+            alibi_slopes = jnp.broadcast_to(alibi_slopes[None], (b, h))
 
     out_pad, lse_pad = paged_attention(
         q_pad, k_pool, v_pool, block_table.astype(jnp.int32), seqused_k,
@@ -274,17 +289,18 @@ def _varlen_paged_dense_fallback(
     qpos = qidx - cu_q[segc] + seqused_k[segc] - len_q[segc]
     qpos = jnp.where(qseg >= 0, qpos, -(2**30)).astype(jnp.int32)
 
+    alibi_row_slopes = None
     if alibi_slopes is not None:
         alibi_slopes = jnp.asarray(alibi_slopes, jnp.float32)
-        if alibi_slopes.ndim != 1:
-            raise NotImplementedError(
-                "per-batch alibi slopes are not supported in packed varlen mode"
-            )
+        if alibi_slopes.ndim == 2:
+            alibi_row_slopes = _row_slopes_from_segments(alibi_slopes, qseg)
+            alibi_slopes = None
 
     return _packed_attention(
         q, kd, vd, qseg, kseg, qpos, kpos,
         causal=causal, window=window, softcap=softcap,
         softmax_scale=softmax_scale, alibi_slopes=alibi_slopes,
+        alibi_row_slopes=alibi_row_slopes,
         dropout_p=dropout_p, dropout_seed=dropout_seed,
         block_q=None, block_k=None, interpret=interpret,
     )
