@@ -41,7 +41,7 @@ LN2 = math.log(2.0)
 CHIP = detect_chip()
 
 
-def _kernel(nchains, nk, bq, bk, mxu_lsum, use_exp2, dots_only, *refs):
+def _kernel(nchains, bq, bk, mxu_lsum, use_exp2, dots_only, *refs):
     it = iter(refs)
     iq_tab = next(it)
     ik_tab = next(it)
@@ -197,7 +197,7 @@ def make_probe(seq, b, h, d, *, nchains=1, mxu_lsum=False, use_exp2=False,
         + [pltpu.VMEM((bq, d), jnp.float32) for _ in range(nchains)]
     )
     kern = functools.partial(
-        _kernel, nchains, nk, bq, bk, mxu_lsum, use_exp2, dots_only
+        _kernel, nchains, bq, bk, mxu_lsum, use_exp2, dots_only
     )
     scale = (1.0 / math.sqrt(d)) * (LOG2E if use_exp2 else 1.0)
 

@@ -124,3 +124,28 @@ def test_api_return_attn_probs_triple():
         v.swapaxes(1, 2).astype(jnp.float32),
     ) / (1 - 0.17)
     assert max_err(out.swapaxes(1, 2), o2) < 0.03
+
+
+def test_probs_dropout_sign_mask_multiblock():
+    """seq 1024 at the dropout-pinned 512 tiles -> a 2x2 block grid per
+    (b, h), causal so the fwd kernel runs its SPARSE live-pair grid while
+    the probs pass runs the dense grid: the cross-block blk_idx
+    enumeration must agree between the two paths or the replayed mask
+    diverges (round-2 advisor finding: all previous replay tests had
+    nq=nk=1)."""
+    p_drop, seed = 0.25, 7
+    b, h, s, d = 1, 2, 1024, 64
+    q = rand(jax.random.PRNGKey(10), (b, h, s, d), jnp.float32, scale=0.5)
+    k = rand(jax.random.PRNGKey(11), (b, h, s, d), jnp.float32, scale=0.5)
+    v = rand(jax.random.PRNGKey(12), (b, h, s, d), jnp.float32)
+    o, lse = flash_fwd(q, k, v, causal=True, dropout_p=p_drop,
+                       dropout_seed=seed)
+    sd = attention_probs(q, k, lse, causal=True, dropout_p=p_drop,
+                         dropout_seed=seed)
+    vis = np.tril(np.ones((s, s), bool))[None, None]
+    signs = np.signbit(np.asarray(sd))
+    frac = float(np.mean(signs[np.broadcast_to(vis, signs.shape)]))
+    assert abs(frac - p_drop) < 0.01, frac
+    # exact replay across all four blocks
+    o2 = jnp.einsum("bhqk,bhkd->bhqd", jnp.maximum(sd, 0.0), v) / (1 - p_drop)
+    assert max_err(o, o2) < 2e-5

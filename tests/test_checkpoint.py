@@ -139,7 +139,8 @@ def test_engine_checkpoint_resume_with_prefix(tmp_path):
     path = str(tmp_path / "ckpt_prefix.npz")
     save_engine(eng, path)
     eng2 = load_engine(path, params=params)
-    assert eng2._prefixes["sys"]["pages"] == eng._prefixes["sys"]["pages"]
+    assert (eng2._prefixes["sys"]["pages_by_replica"]
+            == eng._prefixes["sys"]["pages_by_replica"])
     out = eng2.run(max_steps=80)
     assert out == ref
 

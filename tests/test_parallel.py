@@ -704,3 +704,47 @@ def test_dp_tp_engine_speculative_and_quant():
     out = run(mesh)
     for rid in prompts:
         assert list(out[rid]) == list(ref[rid]), rid
+
+
+def test_dp_tp_engine_prefix_caching_token_identical():
+    """Shared-prefix caching under dp=2 x tp=2: the prefix KV is
+    replicated into every replica's pool shard at register_prefix, so
+    requests on any replica attend to it with local page ids. Streams
+    must match the single-device prefix-cached engine exactly, and
+    release_prefix must return every replica's pages."""
+    from xf_flash_attention_cutlass_tpu.serve import DecodeEngine, EngineConfig
+
+    cfg, params = _tiny()
+    mesh = make_mesh(dp=2, tp=2, devices=_cpu_devices(4))
+    page = 16
+    ecfg = EngineConfig(
+        max_batch=4, page_size=page, num_pages=64, max_seq=256,
+        prefill_chunk=32, prefill_lanes=2,
+    )
+    prefix = [(3 * i + 1) % cfg.vocab_size for i in range(2 * page + 8)]
+    prompts = {
+        0: [9, 4, 77],
+        1: [15, 2, 8, 30, 1],
+        2: [(7 * i + 3) % cfg.vocab_size for i in range(11)],
+    }
+
+    def run(mesh_arg):
+        eng = DecodeEngine(
+            params, cfg, ecfg, dtype=jnp.float32, mesh=mesh_arg
+        )
+        free0 = eng.pool.free_pages()
+        eng.register_prefix("sys", prefix)
+        # dp replicates the 2 shared pages into each of the 2 replicas
+        held = free0 - eng.pool.free_pages()
+        assert held == (4 if mesh_arg is not None else 2), held
+        for rid, p in prompts.items():
+            eng.add_request(rid, p, 5, prefix_id="sys")
+        out = eng.run()
+        eng.release_prefix("sys")
+        assert eng.pool.free_pages() == free0
+        return out
+
+    ref = run(None)
+    out = run(mesh)
+    for rid in prompts:
+        assert list(out[rid]) == list(ref[rid]), rid

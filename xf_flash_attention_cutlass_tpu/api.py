@@ -200,7 +200,16 @@ def flash_attn_varlen_func(
     seqused_k=None,  # (b,) int32: live keys per sequence (export.cpp varlen)
     dropout_seed: int = 0,
 ):
-    """Ragged-batch flash attention (reference: test.py:102-149)."""
+    """Ragged-batch flash attention (reference: test.py:102-149).
+
+    `deterministic` is accepted and ignored: TPU grids are sequential so
+    results are always deterministic. `return_attn_probs` returns None
+    for S_dmask on this entry (known parity gap vs the reference's varlen
+    `return_softmax`): the sign-encoded mask plane is served only by the
+    dense entry via `attention_probs`, which has no segment/position
+    masking; varlen dropout correctness is validated statistically
+    (tests/test_dropout.py) instead.
+    """
     from xf_flash_attention_cutlass_tpu.ops.varlen import (
         flash_attn_varlen,
         flash_attn_varlen_paged,

@@ -358,10 +358,17 @@ def _flash_fwd_kernel(
 def _resolve_blocks(sq, sk, block_q, block_k, dropout_p):
     """Block-size policy shared by the fwd kernel and the probs debug pass —
     the two must partition identically so the per-block dropout counters
-    (and thus the regenerated masks) line up."""
+    (and thus the regenerated masks) line up.
+
+    CONTRACT: with dropout_p > 0 the canonical 512 tiles OVERRIDE any
+    explicit block_q/block_k, in BOTH flash_fwd and attention_probs. Do
+    not relax this override on one side only — the dropout mask is keyed
+    by (seed, block index), so mismatched partitions silently replay a
+    different mask (round-2 advisor finding)."""
     bq = block_q or min(1024, next_multiple(sq, 128))
     bk = block_k or min(1024, next_multiple(sk, 128))
     if dropout_p > 0.0:
+        # see CONTRACT above: explicit blocks are intentionally ignored
         bq = min(512, next_multiple(sq, 128))
         bk = min(512, next_multiple(sk, 128))
     bq = min(bq, next_multiple(sq, 128))
@@ -453,7 +460,10 @@ def attention_probs(
     debugging/tests: softmax(QK^T) with masking applied, entries that the
     seeded dropout dropped returned NEGATED (the reference's S_dmask sign
     convention). Must be called with the same q/k/flags/seed/blocks as the
-    flash_fwd that produced `lse`. Debug path: materializes seq_q x seq_k."""
+    flash_fwd that produced `lse`. With dropout_p > 0, explicit
+    block_q/block_k args are ignored on BOTH sides (_resolve_blocks pins
+    the canonical 512 tiles) so the replayed mask partition always
+    matches. Debug path: materializes seq_q x seq_k."""
     if interpret is None:
         interpret = default_interpret()
     if not interpret and q.dtype == jnp.float16:

@@ -17,10 +17,13 @@ exactly the continuous-batching contract the serve layer needs.
 
 from __future__ import annotations
 
+import logging
 from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+
+logger = logging.getLogger(__name__)
 
 from xf_flash_attention_cutlass_tpu.ops.flash import flash_attention
 from xf_flash_attention_cutlass_tpu.ops.paged import paged_attention
@@ -212,6 +215,20 @@ def flash_attn_varlen_paged(
     # accumulator in VMEM; beyond ~3k rows fall back to the dense gather.
     # dropout also routes there (paged = inference kernel, no PRNG path)
     if sq_max * g > 3072 or dropout_p > 0.0:
+        # the dense gather materializes b x max_pages x page rows: the
+        # traffic class changes from live-pages to whole-table. Surface
+        # that to serving callers (trace-time decision: statics only).
+        reason = (
+            f"query block too large for the paged kernel "
+            f"(sq_max*group = {sq_max * g} > 3072)"
+            if sq_max * g > 3072
+            else "dropout requested (paged kernel is inference-only)"
+        )
+        logger.debug(
+            "flash_attn_varlen_paged: falling back to the DENSE gather "
+            "path (%s); HBM traffic becomes b*max_pages*page rows instead "
+            "of live pages", reason,
+        )
         return _varlen_paged_dense_fallback(
             q, k_pool, v_pool, block_table, cu_q, seqused_k,
             causal=causal, window=window, softcap=softcap,

@@ -386,6 +386,35 @@ class DpPagePools:
                 return s
         return -1
 
+    def admit_prefixed_replica(self, replica: int, request_id: int,
+                               shared_pages: int, prompt_len: int,
+                               target_len: int) -> int:
+        s = self.pools[replica].admit_prefixed(
+            request_id, shared_pages, prompt_len, target_len
+        )
+        return -1 if s < 0 else replica * self.mb_local + s
+
+    def prefix_alloc_all(self, n_pages: int):
+        """Reserve `n_pages` prefix pages in EVERY replica's pool (the
+        prefix KV is replicated into each dp shard so any replica's
+        requests can attend to it with LOCAL page ids). Returns a list of
+        dp page-id lists, or None if any replica lacks room (all-or-
+        nothing: partial reservations are rolled back)."""
+        out = []
+        for p in self.pools:
+            pages = p.prefix_alloc(n_pages)
+            if pages is None:
+                for q, done in zip(self.pools, out):
+                    q.prefix_free(done)
+                return None
+            out.append(pages)
+        return out
+
+    def prefix_free_all(self, pages_by_replica) -> None:
+        for p, pages in zip(self.pools, pages_by_replica):
+            if pages:
+                p.prefix_free(pages)
+
     def extend(self, slot: int, n_tokens: int = 1) -> int:
         p, s = self._split(slot)
         return p.extend(s, n_tokens)

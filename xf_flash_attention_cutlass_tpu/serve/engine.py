@@ -700,11 +700,6 @@ class DecodeEngine:
                     "prefix caching requires chunked prefill "
                     "(EngineConfig.prefill_chunk)"
                 )
-            if self.dp > 1:
-                raise NotImplementedError(
-                    "prefix caching with dp > 1: shared pages would need "
-                    "replication into every dp replica's pool shard"
-                )
             if prefix_id not in self._prefixes:
                 raise KeyError(f"unknown prefix {prefix_id!r}")
         self.queue.append(
@@ -725,29 +720,71 @@ class DecodeEngine:
         page = self.ecfg.page_size
         shared_pages = len(tokens) // page
         shared_len = shared_pages * page
-        pages = self.pool.prefix_alloc(shared_pages) if shared_pages else []
-        if pages is None:
+        if self.dp > 1:
+            # replicate the prefix into EVERY replica's pool shard: each
+            # replica gets its own (local-id) page reservation and runs
+            # the same prefill chunks into it, so later requests on any
+            # replica attend to the prefix with zero cross-dp traffic
+            pages_by_replica = (
+                self.pool.prefix_alloc_all(shared_pages)
+                if shared_pages else [[] for _ in range(self.dp)]
+            )
+        else:
+            one = self.pool.prefix_alloc(shared_pages) if shared_pages else []
+            pages_by_replica = None if one is None else [one]
+        if pages_by_replica is None:
             raise RuntimeError("page pool cannot hold the prefix")
         # prefill the shared tokens chunk by chunk into the prefix pages
         C = self.ecfg.prefill_chunk
         mp = self.ecfg.max_pages_per_seq
-        bt_row = np.full((1, mp), self.trash_page, np.int32)
-        bt_row[0, : len(pages)] = pages
-        pos = 0
-        while pos < shared_len:
-            chunk = tokens[pos : pos + C]
-            n_valid = len(chunk)
-            buf = np.zeros((1, C), np.int32)
-            buf[0, :n_valid] = chunk
-            _, self.pools = self._run_prefill_chunk(
-                jnp.asarray(buf),
-                jnp.asarray(pos, jnp.int32),
-                jnp.asarray(n_valid, jnp.int32),
-                jnp.asarray(bt_row),
-            )
-            pos += n_valid
+        if self.dp > 1:
+            # one active lane per replica (the lane-batched chunk step
+            # shards lane rows over dp): every replica prefills the same
+            # chunk into its own prefix pages. Idle lanes keep n_valid=0
+            # and trash tables, exactly like normal prefill idling.
+            P = self.ecfg.prefill_lanes
+            lanes_local = P // self.dp
+            bt_rows = np.full((P, mp), self.trash_page, np.int32)
+            act = []
+            for r in range(self.dp):
+                lane = r * lanes_local
+                bt_rows[lane, : shared_pages] = pages_by_replica[r]
+                act.append(lane)
+            pos = 0
+            while pos < shared_len:
+                chunk = tokens[pos : pos + C]
+                n_valid = len(chunk)
+                buf = np.zeros((P, C), np.int32)
+                n_prior = np.zeros((P,), np.int32)
+                nv = np.zeros((P,), np.int32)
+                for lane in act:
+                    buf[lane, :n_valid] = chunk
+                    n_prior[lane] = pos
+                    nv[lane] = n_valid
+                _, self.pools = self._run_prefill_chunk(
+                    jnp.asarray(buf), jnp.asarray(n_prior),
+                    jnp.asarray(nv), jnp.asarray(bt_rows),
+                )
+                pos += n_valid
+        else:
+            bt_row = np.full((1, mp), self.trash_page, np.int32)
+            bt_row[0, : shared_pages] = pages_by_replica[0]
+            pos = 0
+            while pos < shared_len:
+                chunk = tokens[pos : pos + C]
+                n_valid = len(chunk)
+                buf = np.zeros((1, C), np.int32)
+                buf[0, :n_valid] = chunk
+                _, self.pools = self._run_prefill_chunk(
+                    jnp.asarray(buf),
+                    jnp.asarray(pos, jnp.int32),
+                    jnp.asarray(n_valid, jnp.int32),
+                    jnp.asarray(bt_row),
+                )
+                pos += n_valid
         self._prefixes[prefix_id] = dict(
-            pages=list(pages),
+            pages_by_replica=[list(p) for p in pages_by_replica],
+            n_pages=shared_pages,
             shared_len=shared_len,
             tokens=list(tokens),
             remainder=list(tokens[shared_len:]),
@@ -759,8 +796,11 @@ class DecodeEngine:
         if prefix_id in self._slot_prefix.values():
             raise RuntimeError(f"prefix {prefix_id!r} still in use")
         pf = self._prefixes.pop(prefix_id)
-        if pf["pages"]:
-            self.pool.prefix_free(pf["pages"])
+        if pf["n_pages"]:
+            if self.dp > 1:
+                self.pool.prefix_free_all(pf["pages_by_replica"])
+            else:
+                self.pool.prefix_free(pf["pages_by_replica"][0])
 
     # ---- internals -------------------------------------------------------
     def _run_prefill_chunk(self, tokens, n_prior, n_valid, bt):
@@ -848,16 +888,28 @@ class DecodeEngine:
             # prefills into replica l // lanes_local's pool shard
             lanes_local = self.ecfg.prefill_lanes // self.dp
             replica = lane // lanes_local
-            todo, base = prompt, 0
-            slot = self.pool.admit_replica(
-                replica, rid, len(todo), len(todo) + max_new
-            )
+            if prefix_id is not None:
+                pf = self._prefixes[prefix_id]
+                todo = pf["remainder"] + prompt
+                base = pf["shared_len"]
+                total = base + len(todo)
+                slot = self.pool.admit_prefixed_replica(
+                    replica, rid, pf["n_pages"], total, total + max_new
+                )
+            else:
+                todo, base = prompt, 0
+                slot = self.pool.admit_replica(
+                    replica, rid, len(todo), len(todo) + max_new
+                )
             if slot < 0:
                 return False
             self.queue.popleft()
+            if prefix_id is not None:
+                self._slot_prefix[slot] = prefix_id
             self._prefills[lane] = dict(
                 slot=slot, id=rid, prompt=prompt, todo=todo, base=base,
-                done=0, max_new=max_new, temperature=temp, prefix_id=None,
+                done=0, max_new=max_new, temperature=temp,
+                prefix_id=prefix_id,
             )
             return True
         if prefix_id is not None:
@@ -866,7 +918,7 @@ class DecodeEngine:
             base = pf["shared_len"]
             total = base + len(todo)
             slot = self.pool.admit_prefixed(
-                rid, len(pf["pages"]), total, total + max_new
+                rid, pf["n_pages"], total, total + max_new
             )
         else:
             todo, base = prompt, 0
@@ -882,6 +934,14 @@ class DecodeEngine:
         )
         return True
 
+    def _prefix_pages(self, pid: str, slot: int):
+        """The prefix page ids visible to `slot` — its replica's copy
+        under dp (page ids are replica-LOCAL)."""
+        pbr = self._prefixes[pid]["pages_by_replica"]
+        if len(pbr) == 1:
+            return pbr[0]
+        return pbr[slot // self.pool.mb_local]
+
     def _bt_row_with_prefix(self, slot: int) -> np.ndarray:
         """This slot's full block-table row: own pages from the allocator
         (already offset past the shared region), shared-prefix pages
@@ -894,7 +954,7 @@ class DecodeEngine:
         row[n_pages:] = self.trash_page
         pid = self._slot_prefix.get(slot)
         if pid is not None:
-            pages = self._prefixes[pid]["pages"]
+            pages = self._prefix_pages(pid, slot)
             row[: len(pages)] = pages
         return row[None]
 
@@ -1083,7 +1143,7 @@ class DecodeEngine:
         # overlay shared-prefix pages (allocator rows leave that region 0)
         for slot, pid in self._slot_prefix.items():
             if slot in self.active:
-                pages = self._prefixes[pid]["pages"]
+                pages = self._prefix_pages(pid, slot)
                 bt[slot, : len(pages)] = pages
         tokens = np.zeros((self.ecfg.max_batch, 1), np.int32)
         temps = np.zeros((self.ecfg.max_batch,), np.float32)
@@ -1138,7 +1198,7 @@ class DecodeEngine:
                 bt[slot, :] = self.trash_page
         for slot, pid in self._slot_prefix.items():
             if slot in self.active:
-                pages = self._prefixes[pid]["pages"]
+                pages = self._prefix_pages(pid, slot)
                 bt[slot, : len(pages)] = pages
         tokens = np.zeros((self.ecfg.max_batch, L), np.int32)
         for slot, st in self.active.items():
