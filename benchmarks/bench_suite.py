@@ -65,14 +65,18 @@ def bench_dense_fwd_bwd(seq, b=2, h=32, d=128):
     print(rep.line(f"dense_fwd+bwd seq={seq}"))
 
 
-def bench_paged(kv_dtype, b=64, h=32, h_k=8, d=128, page=256, max_seq=2048):
+def bench_paged(kv_dtype, b=64, h=32, h_k=8, d=128, page=256, max_seq=2048,
+                full_len=False):
     rng = np.random.default_rng(0)
     pps = max_seq // page
     nump = b * pps + 16
     kp = jax.random.normal(jax.random.PRNGKey(0), (nump, h_k, page, d), jnp.bfloat16)
     vp = jax.random.normal(jax.random.PRNGKey(1), (nump, h_k, page, d), jnp.bfloat16)
     bt = jnp.asarray(rng.permutation(nump)[: b * pps].reshape(b, pps), jnp.int32)
-    kv_lens = jnp.asarray(rng.integers(max_seq // 2, max_seq + 1, (b,)), jnp.int32)
+    kv_lens = jnp.asarray(
+        np.full((b,), max_seq) if full_len
+        else rng.integers(max_seq // 2, max_seq + 1, (b,)), jnp.int32,
+    )
     q = jax.random.normal(jax.random.PRNGKey(2), (b, 1, h, d), jnp.bfloat16)
     live_pages = int(np.sum(np.ceil(np.asarray(kv_lens) / page)))
 
@@ -94,7 +98,8 @@ def bench_paged(kv_dtype, b=64, h=32, h_k=8, d=128, page=256, max_seq=2048):
         t = timed_scan(step, q, kq, vq, ks, vs, bt, kv_lens, lengths=(4, 64))
         nbytes = 2 * live_pages * page * h_k * (d + 4)
     rep = RooflineReport(seconds=t, bytes=nbytes, chip=CHIP)
-    print(rep.line(f"paged_decode kv={kv_dtype}"))
+    tag = f" b={b} ctx={max_seq//1024}k" if (b != 64 or max_seq != 2048) else ""
+    print(rep.line(f"paged_decode kv={kv_dtype}{tag}"))
 
 
 def bench_qmm(m=512, k=4096, n=4096):
@@ -312,6 +317,10 @@ if __name__ == "__main__":
         bench_dense_fwd_bwd(seq)
     for kv in ("bf16", "int8", "fp8_e4m3"):
         bench_paged(kv)
+    # long-context stress (round-3 verdict #8): one request, hundreds of
+    # pages per table — exercises int32 offset math + SMEM table sizing
+    bench_paged("fp8_e4m3", b=1, max_seq=65536, full_len=True)
+    bench_paged("fp8_e4m3", b=1, max_seq=131072, full_len=True)
     bench_qmm()
     for kv in (None, "int8", "fp8_e4m3"):
         bench_engine_decode(kv)

@@ -450,3 +450,42 @@ def test_paged_append_decode_multitoken():
     assert max_err(ov.astype(jnp.int32), rv.astype(jnp.int32)) == 0
     assert max_err(oks, rks) < 1e-6
     assert max_err(ovs, rvs) < 1e-6
+
+
+def test_paged_long_context_64k():
+    """b=1 at 64k-class context: hundreds of pages per block table
+    (round-3 verdict #8) — exercises the int32 burst/offset arithmetic,
+    SMEM table sizing and dead-tail elision at extreme max_pages. Slim
+    geometry (1 kv head) keeps the interpret-mode oracle tractable."""
+    from xf_flash_attention_cutlass_tpu.ops.paged import paged_attention
+
+    rng = np.random.default_rng(0)
+    h, h_k, d, page = 2, 1, 128, 256
+    sk = 65321  # unaligned: 255 full pages + a 41-token tail
+    pages_per_seq = (sk + page - 1) // page
+    num_pages = pages_per_seq + 2
+    kp = rand(jax.random.PRNGKey(0), (num_pages, h_k, page, d), jnp.float32,
+              scale=0.5)
+    vp = rand(jax.random.PRNGKey(1), (num_pages, h_k, page, d), jnp.float32)
+    bt = jnp.asarray(
+        rng.permutation(num_pages)[:pages_per_seq][None], jnp.int32
+    )
+    kv_lens = jnp.asarray([sk], jnp.int32)
+    q = rand(jax.random.PRNGKey(2), (1, 1, h, d), jnp.float32)
+
+    out, lse = paged_attention(q, kp, vp, bt, kv_lens, causal=True)
+
+    # oracle: gather the table densely, one softmax over 65321 keys
+    kd = kp[np.asarray(bt)[0]].transpose(1, 0, 2, 3).reshape(h_k, -1, d)[:, :sk]
+    vd = vp[np.asarray(bt)[0]].transpose(1, 0, 2, 3).reshape(h_k, -1, d)[:, :sk]
+    import math as _math
+    g = h // h_k
+    qb = np.asarray(q[0, 0], np.float32).reshape(h_k, g, d)
+    s = np.einsum("kgd,kld->kgl", qb, np.asarray(kd)) / _math.sqrt(d)
+    m = s.max(-1, keepdims=True)
+    p = np.exp(s - m)
+    o_ref = np.einsum("kgl,kld->kgd", p / p.sum(-1, keepdims=True),
+                      np.asarray(vd)).reshape(1, 1, h, d)
+    lse_ref = (m[..., 0] + np.log(p.sum(-1))).reshape(1, h, 1)
+    assert max_err(out, jnp.asarray(o_ref)) < 2e-5
+    assert max_err(lse, jnp.asarray(lse_ref)) < 1e-4
