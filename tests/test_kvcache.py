@@ -489,3 +489,24 @@ def test_paged_long_context_64k():
     lse_ref = (m[..., 0] + np.log(p.sum(-1))).reshape(1, h, 1)
     assert max_err(out, jnp.asarray(o_ref)) < 2e-5
     assert max_err(lse, jnp.asarray(lse_ref)) < 1e-4
+
+
+def test_num_splits_heuristic():
+    """Occupancy search semantics (paged_attn.cpp:128-163 analog): v5e's
+    single core never splits; a 2-core Megacore part splits b=1 decode to
+    fill both cores; >=80% fill short-circuits to 1; cap respected."""
+    from xf_flash_attention_cutlass_tpu.ops.paged import num_splits_heuristic
+
+    # single TensorCore (v5e): always 1
+    for b in (1, 2, 64):
+        assert num_splits_heuristic(b, 1, 8, 128) == 1
+    # 2 cores (v4/v5p Megacore): b=1 wants 2 splits, b=2+ already fills
+    assert num_splits_heuristic(1, 2, 8, 128) == 2
+    assert num_splits_heuristic(2, 2, 8, 128) == 1
+    assert num_splits_heuristic(64, 2, 8, 128) == 1
+    # splits that do not shrink per-split pages are skipped: 2 pages,
+    # 4 cores, b=1 -> s=3 gives ceil(2/3)==ceil(2/2)? (1==1) skip -> 2 or 4
+    s = num_splits_heuristic(1, 4, 2, 128)
+    assert s in (2, 4) and s != 3
+    # cap: never exceeds pages or cores
+    assert num_splits_heuristic(1, 256, 4, 128) <= 4

@@ -379,7 +379,17 @@ def flash_bwd(
     interpret: Optional[bool] = None,
     fused: Optional[bool] = None,  # None = two-pass (measured faster on v5e)
 ):
-    """Returns (dq, dk, dv) in the input dtypes/shapes."""
+    """Returns (dq, dk, dv) in the input dtypes/shapes.
+
+    Scheduling note (rounds 2-3, all measured/derived on v5e): the
+    two-pass recompute (7 block-GEMMs) beats the reference-style fused
+    one-pass (5 GEMMs, `fused=True`, kept for parity) by ~20% — resident
+    accumulators stall Mosaic's pipeline. A third shape, staging dS (or
+    P) to HBM between the passes, is rejected by arithmetic: the staged
+    plane is the size of the live score set (4.3GB bf16 at the 8k bench
+    shape), its write+read cannot hide on the already-loaded HBM pipe,
+    and it saves at most one GEMM (CLAUDE.md round-3 note).
+    """
     if interpret is None:
         interpret = default_interpret()
     in_dtypes = (q.dtype, k.dtype, v.dtype)

@@ -387,6 +387,41 @@ def _paged_kernel(params: PagedParams, *refs):
     )[..., 0]
 
 
+def num_splits_heuristic(
+    n_work: int, num_cores: int, max_n_blocks: int, max_splits: int
+) -> int:
+    """Occupancy split search — the reference's `num_splits_heuristic`
+    (/root/reference/csrc/paged_attn.cpp:128-163) with TensorCores in the
+    SM role: if `n_work` units already fill >=80% of the cores, don't
+    split; otherwise take the SMALLEST split count whose wave efficiency
+    (work / ceil(work / cores) / cores) is >=85% of the best achievable,
+    skipping splits that don't actually shrink the per-split block count.
+    `n_work` is the batch-level parallel unit count (grid dim 0)."""
+    if n_work >= 0.8 * num_cores:
+        return 1
+    max_splits = max(1, min(max_splits, num_cores, max_n_blocks))
+
+    def eff(s):
+        waves = n_work * s / num_cores
+        return waves / math.ceil(waves)
+
+    best = 0.0
+    effs = []
+    for s in range(1, max_splits + 1):
+        if s > 1 and math.ceil(max_n_blocks / s) == math.ceil(
+            max_n_blocks / (s - 1)
+        ):
+            effs.append(0.0)  # same per-split work as s-1: no point
+            continue
+        e = eff(s)
+        effs.append(e)
+        best = max(best, e)
+    for s in range(1, max_splits + 1):
+        if effs[s - 1] >= 0.85 * best:
+            return s
+    return 1
+
+
 def paged_attention(
     q: jax.Array,  # (b, sq, h, d) — new query tokens
     k_pool: jax.Array,  # (num_pages, kv_heads, page_size, d)
@@ -475,17 +510,20 @@ def paged_attention(
     block_tables = block_tables.astype(jnp.int32)
 
     if num_splits <= 0:
-        # The reference's num_splits_heuristic searches split counts for SM
-        # wave efficiency (/root/reference/csrc/paged_attn.cpp:128-163)
-        # because its combine runs on idle CTAs. The v5e analog is a no-op:
-        # ONE TensorCore, and the in-kernel burst pipeline already keeps
-        # the HBM pipe busy at any batch (measured, fp8 paged decode:
+        # Occupancy-style default (the reference's num_splits_heuristic,
+        # /root/reference/csrc/paged_attn.cpp:128-163, re-targeted at
+        # TensorCores instead of SMs): fill the chip's independent cores
+        # with (batch x split) work units. On single-TensorCore v5e this
+        # resolves to 1 — measured a no-op there (fp8 paged decode:
         # b=1/32k ctx 0.92 of roofline with 1 split vs 0.91 with 4;
-        # b=64/1.5k 0.93 — splitting only adds combine traffic). Splits
-        # remain available for explicit use (combine testing, multi-core
-        # parts: on a 2-core v4/v5p a batch-parallel grid would want
-        # batch*splits >= 2).
-        num_splits = 1
+        # b=64/1.5k 0.93 — splitting only adds combine traffic). On a
+        # Megacore part (v4/v5p, 2 cores) a b=1 decode picks 2 so both
+        # cores see work. Explicit num_splits still overrides.
+        from xf_flash_attention_cutlass_tpu.utils.profiling import detect_chip
+
+        num_splits = num_splits_heuristic(
+            b, detect_chip().tensor_cores, max_pages, 128
+        )
     num_splits = max(1, min(num_splits, max_pages))
     pps = cdiv(max_pages, num_splits)
 

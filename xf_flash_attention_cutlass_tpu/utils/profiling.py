@@ -26,6 +26,9 @@ class ChipSpec:
     # torus at ~45 GB/s/dir/link; v5p: 6-link 3D torus at ~90)
     ici_link_gbps: float = 45.0
     ici_links: int = 4
+    # independent TensorCores per chip (v5e: 1; v4/v5p Megacore: 2) — the
+    # SM-occupancy analog the reference's split heuristic fills
+    tensor_cores: int = 1
 
     @property
     def hbm_bytes_per_s(self) -> float:
@@ -38,9 +41,9 @@ class ChipSpec:
 
 
 V5E = ChipSpec(name="v5e", hbm_gbps=819.0, bf16_tflops=197.0, int8_tops=394.0,
-               ici_link_gbps=45.0, ici_links=4)
+               ici_link_gbps=45.0, ici_links=4, tensor_cores=1)
 V5P = ChipSpec(name="v5p", hbm_gbps=2765.0, bf16_tflops=459.0, int8_tops=918.0,
-               ici_link_gbps=90.0, ici_links=6)
+               ici_link_gbps=90.0, ici_links=6, tensor_cores=2)
 
 
 def ici_collective_seconds(
