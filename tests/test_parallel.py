@@ -748,3 +748,42 @@ def test_dp_tp_engine_prefix_caching_token_identical():
     out = run(mesh)
     for rid in prompts:
         assert list(out[rid]) == list(ref[rid]), rid
+
+
+def test_dp_tp_engine_moe_token_identical():
+    """MoE params on a dp=2 x tp=2 mesh: expert ffn axes shard over tp
+    (psummed combine), batch rows + pool pages over dp."""
+    from xf_flash_attention_cutlass_tpu.serve import DecodeEngine, EngineConfig
+    from xf_flash_attention_cutlass_tpu.models.moe import (
+        MoEConfig, init_moe_params,
+    )
+
+    cfg = MoEConfig(
+        vocab_size=96, dim=64, n_layers=2, n_heads=4, n_kv_heads=2,
+        ffn_dim=128, max_seq_len=512, n_experts=4, top_k=2,
+        capacity_factor=8.0,
+    )
+    params = init_moe_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    mesh = make_mesh(dp=2, tp=2, devices=_cpu_devices(4))
+    ecfg = EngineConfig(
+        max_batch=4, page_size=16, num_pages=64, max_seq=256,
+        prefill_chunk=32, prefill_lanes=2,
+    )
+    prompts = {
+        0: [(7 * i + 3) % cfg.vocab_size for i in range(21)],
+        1: [5, 9, 2],
+        2: [11, 3, 8, 2, 90, 17],
+    }
+
+    def run(mesh_arg):
+        eng = DecodeEngine(
+            params, cfg, ecfg, dtype=jnp.float32, mesh=mesh_arg
+        )
+        for rid, p in prompts.items():
+            eng.add_request(rid, p, 5)
+        return eng.run()
+
+    ref = run(None)
+    out = run(mesh)
+    for rid in prompts:
+        assert list(out[rid]) == list(ref[rid]), rid
