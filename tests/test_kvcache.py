@@ -510,3 +510,39 @@ def test_num_splits_heuristic():
     assert s in (2, 4) and s != 3
     # cap: never exceeds pages or cores
     assert num_splits_heuristic(1, 256, 4, 128) <= 4
+
+
+def test_paged_rows_split_exact():
+    """Oversized query blocks split into sequential token groups
+    (XFA_PAGED_ROWS_MAX): the kv_lens shift must re-derive every causal
+    position exactly, incl. sliding windows and per-batch ALiBi."""
+    import os
+    from xf_flash_attention_cutlass_tpu.ops.paged import paged_attention
+
+    rng = np.random.default_rng(3)
+    b, h, h_k, d, page = 2, 4, 2, 64, 16
+    sq, sk = 24, 160  # rows = 48
+    num_pages = 24
+    kp = rand(jax.random.PRNGKey(0), (num_pages, h_k, page, d), jnp.float32)
+    vp = rand(jax.random.PRNGKey(1), (num_pages, h_k, page, d), jnp.float32)
+    bt = jnp.asarray(
+        rng.permutation(num_pages)[: b * 10].reshape(b, 10), jnp.int32
+    )
+    kv_lens = jnp.asarray([sk, 97], jnp.int32)
+    q = rand(jax.random.PRNGKey(2), (b, sq, h, d), jnp.float32)
+    slopes = rand(jax.random.PRNGKey(3), (b, h), jnp.float32) * 0.1
+
+    for kw in (
+        dict(causal=True),
+        dict(causal=True, window=(37, 0)),
+        dict(causal=True, alibi_slopes=slopes),
+        dict(causal=False),  # position-free split
+    ):
+        ref_o, ref_l = paged_attention(q, kp, vp, bt, kv_lens, **kw)
+        os.environ["XFA_PAGED_ROWS_MAX"] = "16"  # forces 3+ token groups
+        try:
+            o, l = paged_attention(q, kp, vp, bt, kv_lens, **kw)
+        finally:
+            del os.environ["XFA_PAGED_ROWS_MAX"]
+        assert max_err(o, ref_o) < 1e-6, kw
+        assert max_err(l, ref_l) < 1e-6, kw

@@ -473,6 +473,38 @@ def paged_attention(
     max_pages = block_tables.shape[1]
     scale = softmax_scale if softmax_scale is not None else 1.0 / math.sqrt(d)
 
+    # --- oversized query blocks: the kernel holds the whole (h_k, rows, d)
+    # query block, its f32 accumulator AND the (h_k, rows, burst) score
+    # chain in VMEM; beyond ~1024 rows Mosaic's register allocator spills
+    # blow the 128MB budget (measured: rows=2048 at the 8B chunked-prefill
+    # geometry needs 150MB and fails to COMPILE). Split the call into
+    # sequential token groups — exact: for causal geometry, a group ending
+    # at token t1 sees kv_len - (sq - t1) keys, so shifting kv_lens
+    # re-derives every per-token position; for position-free non-causal
+    # (no window/alibi) the positions never enter the math. Each group
+    # re-reads the KV stream, the standard flash row-block trade.
+    rows_max = int(os.environ.get("XFA_PAGED_ROWS_MAX", 1024))
+    splittable = causal or (
+        window[0] < 0 and window[1] < 0 and alibi_slopes is None
+    )
+    if sq > 1 and sq * g > rows_max and splittable:
+        t_sub = max(rows_max // g, 1)
+        outs, lses = [], []
+        for t0 in range(0, sq, t_sub):
+            t1 = min(t0 + t_sub, sq)
+            kv_sub = kv_lens - (sq - t1) if causal else kv_lens
+            o_i, lse_i = paged_attention(
+                q[:, t0:t1], k_pool, v_pool, block_tables, kv_sub,
+                softmax_scale=softmax_scale, causal=causal, window=window,
+                softcap=softcap, alibi_slopes=alibi_slopes,
+                cache_leftpad=cache_leftpad, num_splits=num_splits,
+                k_scales=k_scales, v_scales=v_scales, layer_idx=layer_idx,
+                interpret=interpret,
+            )
+            outs.append(o_i)
+            lses.append(lse_i)
+        return jnp.concatenate(outs, axis=1), jnp.concatenate(lses, axis=2)
+
     # --- decode swap: (b, sq, h_k, g, d) -> (b, h_k, sq*g, d), row = t*g + gi
     rows_real = sq * g
     rows = max(next_multiple(rows_real, 8), 8)

@@ -211,10 +211,15 @@ def flash_attn_varlen_paged(
     sq_max = min(sq_max, total_q)
 
     g = h // h_k
-    # the paged kernel holds one (h_k, sq_max*g, d) query block + f32
-    # accumulator in VMEM; beyond ~3k rows fall back to the dense gather.
+    # the paged kernel self-splits oversized query blocks into sequential
+    # token groups when the geometry permits (causal, or position-free
+    # non-causal — ops/paged.py rows_max); only the remaining combos
+    # (non-causal with window/alibi at >3k rows) take the dense gather.
     # dropout also routes there (paged = inference kernel, no PRNG path)
-    if sq_max * g > 3072 or dropout_p > 0.0:
+    paged_splittable = causal or (
+        window[0] < 0 and window[1] < 0 and alibi_slopes is None
+    )
+    if (sq_max * g > 3072 and not paged_splittable) or dropout_p > 0.0:
         # the dense gather materializes b x max_pages x page rows: the
         # traffic class changes from live-pages to whole-table. Surface
         # that to serving callers (trace-time decision: statics only).
