@@ -211,6 +211,55 @@ def _engine_verify_step_seconds(L, quant, n_layers, quant_weights):
     return timed_scan(step, (tokens, pools), params, bt, kv_lens)
 
 
+def _moe_decode_step_seconds(n_layers):
+    from xf_flash_attention_cutlass_tpu.models.llama import pack_params_for_decode
+    from xf_flash_attention_cutlass_tpu.models.moe import MoEConfig, init_moe_params
+    from xf_flash_attention_cutlass_tpu.serve.engine import decode_core
+
+    # Mixtral-8x7B-class layer geometry, trimmed expert count to fit the
+    # bench HBM budget at bf16 (4 experts x 14336 ffn; the per-layer cost
+    # scales linearly in live expert weights)
+    cfg = MoEConfig(
+        vocab_size=8192, dim=4096, n_layers=n_layers, n_heads=32,
+        n_kv_heads=8, ffn_dim=14336, max_seq_len=4096, n_experts=4,
+        top_k=2,
+    )
+    params = init_moe_params(jax.random.PRNGKey(0), cfg)
+    params = pack_params_for_decode(params)
+    B, page, mp = 64, 256, 8
+    num_pages = B * mp + 1
+    shape = (n_layers, num_pages, cfg.n_kv_heads, page, cfg.head_dim)
+    pools = dict(k=jnp.zeros(shape, jnp.bfloat16),
+                 v=jnp.zeros(shape, jnp.bfloat16))
+    bt = jnp.arange(B * mp, dtype=jnp.int32).reshape(B, mp)
+    kv_lens = jnp.full((B,), 1500, jnp.int32)
+    tokens = jnp.zeros((B, 1), jnp.int32)
+
+    def step(carry, params, bt, kv_lens):
+        t, pools = carry
+        nt, _, pools = decode_core(params, t, pools, bt, kv_lens, cfg, None)
+        return (nt[:, None].astype(jnp.int32), pools)
+
+    return timed_scan(step, (tokens, pools), params, bt, kv_lens)
+
+
+def bench_moe_decode():
+    """Second model family (models/moe.py) through the same decode core:
+    per-layer cost of the sparse-MoE MLP (GShard capacity dispatch + expert
+    einsums) + paged attention at the 8B-attention geometry."""
+    B = 64
+    t2 = _moe_decode_step_seconds(2)
+    t4 = _moe_decode_step_seconds(4)
+    per_layer = (t4 - t2) / 2
+    fixed = max(t2 - 2 * per_layer, 0.0)
+    toks = B / (fixed + 32 * per_layer)
+    print(
+        f"moe_engine_decode bf16 (4 experts x 14336, top-2): "
+        f"{per_layer*1e6:.0f}us/layer + {fixed*1e6:.0f}us fixed -> "
+        f"{toks:.0f} tok/s extrapolated 32-layer (64 reqs @1.5k ctx)"
+    )
+
+
 def bench_speculative_verify(L=4, quant="int8", quant_weights=True):
     """Speculative decoding economics at the 8B decode shape: the cost of an
     L-token verification step vs a plain decode step. With per-step
@@ -325,6 +374,7 @@ if __name__ == "__main__":
     for kv in (None, "int8", "fp8_e4m3"):
         bench_engine_decode(kv)
     bench_engine_decode("int8", quant_weights=True)
+    bench_moe_decode()
     bench_speculative_verify()
     for bucket in (512, 2048):
         bench_engine_prefill(bucket)
