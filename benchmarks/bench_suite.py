@@ -211,9 +211,11 @@ def _engine_verify_step_seconds(L, quant, n_layers, quant_weights):
     return timed_scan(step, (tokens, pools), params, bt, kv_lens)
 
 
-def _moe_decode_step_seconds(n_layers):
+def _moe_decode_step_seconds(n_layers, quant_weights=False):
     from xf_flash_attention_cutlass_tpu.models.llama import pack_params_for_decode
-    from xf_flash_attention_cutlass_tpu.models.moe import MoEConfig, init_moe_params
+    from xf_flash_attention_cutlass_tpu.models.moe import (
+        MoEConfig, init_moe_params, quantize_moe_params,
+    )
     from xf_flash_attention_cutlass_tpu.serve.engine import decode_core
 
     # Mixtral-8x7B-class layer geometry, trimmed expert count to fit the
@@ -225,6 +227,8 @@ def _moe_decode_step_seconds(n_layers):
         top_k=2,
     )
     params = init_moe_params(jax.random.PRNGKey(0), cfg)
+    if quant_weights:
+        params = quantize_moe_params(params)
     params = pack_params_for_decode(params)
     B, page, mp = 64, 256, 8
     num_pages = B * mp + 1
@@ -243,18 +247,19 @@ def _moe_decode_step_seconds(n_layers):
     return timed_scan(step, (tokens, pools), params, bt, kv_lens)
 
 
-def bench_moe_decode():
+def bench_moe_decode(quant_weights=False):
     """Second model family (models/moe.py) through the same decode core:
     per-layer cost of the sparse-MoE MLP (GShard capacity dispatch + expert
-    einsums) + paged attention at the 8B-attention geometry."""
+    einsums/qmm) + paged attention at the 8B-attention geometry."""
     B = 64
-    t2 = _moe_decode_step_seconds(2)
-    t4 = _moe_decode_step_seconds(4)
+    t2 = _moe_decode_step_seconds(2, quant_weights)
+    t4 = _moe_decode_step_seconds(4, quant_weights)
     per_layer = (t4 - t2) / 2
     fixed = max(t2 - 2 * per_layer, 0.0)
     toks = B / (fixed + 32 * per_layer)
+    wtag = "int8-w" if quant_weights else "bf16"
     print(
-        f"moe_engine_decode bf16 (4 experts x 14336, top-2): "
+        f"moe_engine_decode {wtag} (4 experts x 14336, top-2): "
         f"{per_layer*1e6:.0f}us/layer + {fixed*1e6:.0f}us fixed -> "
         f"{toks:.0f} tok/s extrapolated 32-layer (64 reqs @1.5k ctx)"
     )
@@ -375,6 +380,7 @@ if __name__ == "__main__":
         bench_engine_decode(kv)
     bench_engine_decode("int8", quant_weights=True)
     bench_moe_decode()
+    bench_moe_decode(quant_weights=True)
     bench_speculative_verify()
     for bucket in (512, 2048):
         bench_engine_prefill(bucket)

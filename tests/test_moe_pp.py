@@ -213,3 +213,55 @@ def test_pp_loss_and_grad_matches_single():
     err = jax.tree_util.tree_map(lambda a, b: max_err(a, b), grads, ref_g)
     worst = max(jax.tree_util.tree_leaves(err))
     assert worst < 1e-4, worst
+
+
+def test_moe_quantized_weights_accuracy():
+    """INT8 weight-only MoE (quantize_moe_params): logits track the
+    full-precision model within the weight-quant tolerance, and the
+    engine serves the quantized family token-identically to naive
+    quantized recompute."""
+    from xf_flash_attention_cutlass_tpu.models.moe import (
+        MoEConfig, init_moe_params, moe_forward, quantize_moe_params,
+    )
+
+    cfg = MoEConfig(
+        vocab_size=97, dim=64, n_layers=2, n_heads=4, n_kv_heads=2,
+        ffn_dim=128, max_seq_len=512, n_experts=4, top_k=2,
+        capacity_factor=8.0,
+    )
+    params = init_moe_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    qparams = quantize_moe_params(params)
+    toks = jnp.asarray([[3, 17, 42, 9, 55, 21, 60]], jnp.int32)
+    ref, _ = moe_forward(params, toks, cfg)
+    out, _ = moe_forward(qparams, toks, cfg)
+    # weight-only int8: logits close but not exact
+    assert float(jnp.max(jnp.abs(out - ref))) < 0.15, float(
+        jnp.max(jnp.abs(out - ref))
+    )
+
+
+def test_engine_serves_quantized_moe_token_exact():
+    from xf_flash_attention_cutlass_tpu.models.moe import (
+        MoEConfig, init_moe_params, moe_forward, quantize_moe_params,
+    )
+    from xf_flash_attention_cutlass_tpu.serve import DecodeEngine, EngineConfig
+
+    cfg = MoEConfig(
+        vocab_size=97, dim=64, n_layers=2, n_heads=4, n_kv_heads=2,
+        ffn_dim=128, max_seq_len=512, n_experts=4, top_k=2,
+        capacity_factor=8.0,
+    )
+    params = init_moe_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    qparams = quantize_moe_params(params)
+    ecfg = EngineConfig(max_batch=2, page_size=16, num_pages=32, max_seq=256)
+    eng = DecodeEngine(qparams, cfg, ecfg, dtype=jnp.float32)
+    prompt = [3, 17, 42, 9, 55, 21, 60]
+    n_new = 5
+    eng.add_request(0, prompt, n_new)
+    out = eng.run()
+
+    toks = list(prompt)
+    for _ in range(n_new):
+        logits, _ = moe_forward(qparams, jnp.asarray([toks], jnp.int32), cfg)
+        toks.append(int(jnp.argmax(logits[0, -1])))
+    assert list(out[0]) == toks[len(prompt):]

@@ -153,11 +153,81 @@ def top_k_dispatch(
     return dispatch, combine, aux
 
 
+def _expert_proj(x_e, w, e):
+    """One expert's projection. `w` forms mirror llama._proj:
+    plain (E, d_in, d_out) array | (w_q (E,...), scale (E,...)) quantized |
+    (w_q (L, E,...), scale (L, E,...), layer_idx) engine-stacked — the
+    expert axis plays the qmm kernel's "layer" role (in-kernel stack
+    indexing, no per-expert HBM weight copy), flattened to L*E + e when a
+    layer stack is present."""
+    from xf_flash_attention_cutlass_tpu.quant.linear import quantized_matmul
+
+    if isinstance(w, tuple):
+        if len(w) == 3:
+            wq, s, l = w  # (L, E, din, dout), (L, E, dout)
+            L, E = wq.shape[0], wq.shape[1]
+            return quantized_matmul(
+                x_e,
+                wq.reshape(L * E, wq.shape[2], wq.shape[3]),
+                s.reshape(L * E, s.shape[2]),
+                layer_idx=l * E + e,
+            )
+        wq, s = w  # (E, din, dout), (E, dout)
+        return quantized_matmul(
+            x_e, wq, s, layer_idx=jnp.asarray(e, jnp.int32)
+        )
+    return x_e @ w[e]
+
+
 def expert_ffn(w_gate, w_up, w_down, x):
-    """SwiGLU over (E, C, d) with per-expert weights (E, d, f)/(E, f, d)."""
+    """SwiGLU over (E, C, d) with per-expert weights (E, d, f)/(E, f, d).
+
+    Quantized expert weights (tuples, quantize_moe_params) route through
+    the fused-dequant stacked matmul per expert — HBM sees 1 byte/weight,
+    halving the decode-dominant expert weight stream."""
+    if isinstance(w_gate, tuple):
+        E = x.shape[0]
+        outs = []
+        for e in range(E):
+            g = _expert_proj(x[e], w_gate, e)
+            u = _expert_proj(x[e], w_up, e)
+            outs.append(_expert_proj(jax.nn.silu(g) * u, w_down, e))
+        return jnp.stack(outs)
     gate = jnp.einsum("ecd,edf->ecf", x, w_gate)
     up = jnp.einsum("ecd,edf->ecf", x, w_up)
     return jnp.einsum("ecf,efd->ecd", jax.nn.silu(gate) * up, w_down)
+
+
+def quantize_moe_params(params, quant_dtype=jnp.int8):
+    """INT8 weight-only quantization for the MoE family: attention
+    projections + lm_head like llama.quantize_params, plus the per-expert
+    FFN stacks (L, E, d, f) -> ((L, E, d, f) int8, (L, E, f) f32 scales)
+    consumed by expert_ffn's fused-dequant path. Router, norms and
+    embeddings stay full precision (gate logits are numerically
+    sensitive)."""
+    from xf_flash_attention_cutlass_tpu.quant.linear import quantize_weight
+
+    out = dict(params)
+    layers = dict(params["layers"])
+    for name in ("wq", "wk", "wv", "wo"):
+        w = layers[name]
+        wq, sc = jax.vmap(lambda wi: quantize_weight(wi, quant_dtype))(w)
+        layers[name] = (wq, sc)
+    for name in ("w_gate", "w_up", "w_down"):
+        w = layers[name]  # (L, E, din, dout)
+        # per-layer loop: a whole-stack vmap would materialize the full
+        # f32 upcast of the expert tree at once (OOMs real geometries)
+        wq_l, sc_l = [], []
+        for li in range(w.shape[0]):
+            a, b = jax.vmap(
+                lambda wi: quantize_weight(wi, quant_dtype)
+            )(w[li])
+            wq_l.append(a)
+            sc_l.append(b)
+        layers[name] = (jnp.stack(wq_l), jnp.stack(sc_l))
+    out["layers"] = layers
+    out["lm_head"] = quantize_weight(params["lm_head"], quant_dtype)
+    return out
 
 
 def moe_mlp_block(

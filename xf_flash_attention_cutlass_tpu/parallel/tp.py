@@ -53,6 +53,19 @@ def param_partition_specs(params: Dict[str, Any]) -> Dict[str, Any]:
         is_scale = leaf.ndim in (1, 2) and name in (
             "wq", "wk", "wv", "w_gate", "w_up", "wo", "w_down", "lm_head"
         ) and leaf.dtype == jnp.float32
+        # MoE expert scales are 3-D (L, E, dout) and sit at tuple index 1
+        # (quantize_moe_params); distinguish them from 3-D full-precision
+        # llama weights by the tuple position in the key path
+        in_tuple_scale = any(
+            isinstance(pp, jax.tree_util.SequenceKey)
+            and getattr(pp, "idx", None) == 1
+            for pp in path
+        )
+        if (name in ("w_gate", "w_up", "w_down") and leaf.ndim == 3
+                and leaf.dtype == jnp.float32 and in_tuple_scale):
+            if name == "w_down":  # (L, E, d): out dim replicated
+                return P(None, None, None)
+            return P(None, None, TP)  # (L, E, f): ffn dim sharded
         if name in ("wq", "wk", "wv", "w_gate", "w_up"):
             if is_scale:  # (L, dout) or (dout,)
                 return P(*([None] * (leaf.ndim - 1)), TP)
