@@ -787,3 +787,42 @@ def test_dp_tp_engine_moe_token_identical():
     out = run(mesh)
     for rid in prompts:
         assert list(out[rid]) == list(ref[rid]), rid
+
+
+def test_tp_engine_quantized_moe_token_identical():
+    """INT8 expert weights under a TP mesh: the (L, E, f) scale specs
+    (tuple-position detection in parallel/tp.py) must shard with their
+    weights; streams match the single-device quantized MoE engine."""
+    from xf_flash_attention_cutlass_tpu.serve import DecodeEngine, EngineConfig
+    from xf_flash_attention_cutlass_tpu.models.moe import (
+        MoEConfig, init_moe_params, quantize_moe_params,
+    )
+
+    cfg = MoEConfig(
+        vocab_size=96, dim=64, n_layers=2, n_heads=4, n_kv_heads=2,
+        ffn_dim=128, max_seq_len=512, n_experts=4, top_k=2,
+        capacity_factor=8.0,
+    )
+    params = quantize_moe_params(
+        init_moe_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    )
+    mesh = make_mesh(tp=2, devices=_cpu_devices(2))
+    ecfg = EngineConfig(
+        max_batch=2, page_size=16, num_pages=64, max_seq=256,
+        prefill_chunk=32, prefill_lanes=2,
+    )
+    prompts = {0: [(7 * i + 3) % cfg.vocab_size for i in range(21)],
+               1: [5, 9, 2]}
+
+    def run(mesh_arg):
+        eng = DecodeEngine(
+            params, cfg, ecfg, dtype=jnp.float32, mesh=mesh_arg
+        )
+        for rid, p in prompts.items():
+            eng.add_request(rid, p, 5)
+        return eng.run()
+
+    ref = run(None)
+    out = run(mesh)
+    for rid in prompts:
+        assert list(out[rid]) == list(ref[rid]), rid
