@@ -826,3 +826,39 @@ def test_tp_engine_quantized_moe_token_identical():
     out = run(mesh)
     for rid in prompts:
         assert list(out[rid]) == list(ref[rid]), rid
+
+
+def test_dp_tp_engine_all_features_composed():
+    """Every serving feature at once on the dp=2 x tp=2 mesh: shared
+    prefix + chunked prefill lanes + speculative decoding + int8 KV +
+    int8 weights — token-identical to the single-device engine with the
+    same features."""
+    from xf_flash_attention_cutlass_tpu.serve import DecodeEngine, EngineConfig
+    from xf_flash_attention_cutlass_tpu.models.llama import quantize_params
+
+    cfg, params = _tiny()
+    params = quantize_params(params)
+    mesh = make_mesh(dp=2, tp=2, devices=_cpu_devices(4))
+    page = 16
+    ecfg = EngineConfig(
+        max_batch=4, page_size=page, num_pages=64, max_seq=256,
+        prefill_chunk=32, prefill_lanes=2, speculate_k=3, kv_quant="int8",
+    )
+    prefix = [(3 * i + 1) % cfg.vocab_size for i in range(page + 5)]
+    prompts = {0: [9, 4, 7, 7, 7, 7], 1: [15, 2, 8]}
+
+    def run(mesh_arg):
+        eng = DecodeEngine(
+            params, cfg, ecfg, dtype=jnp.float32, mesh=mesh_arg
+        )
+        eng.register_prefix("sys", prefix)
+        for rid, p in prompts.items():
+            eng.add_request(rid, p, 6, prefix_id="sys")
+        out = eng.run()
+        eng.release_prefix("sys")
+        return out
+
+    ref = run(None)
+    out = run(mesh)
+    for rid in prompts:
+        assert list(out[rid]) == list(ref[rid]), rid
