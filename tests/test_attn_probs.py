@@ -149,3 +149,41 @@ def test_probs_dropout_sign_mask_multiblock():
     # exact replay across all four blocks
     o2 = jnp.einsum("bhqk,bhkd->bhqd", jnp.maximum(sd, 0.0), v) / (1 - p_drop)
     assert max_err(o, o2) < 2e-5
+
+
+def test_varlen_attn_probs_exact():
+    """Packed varlen S_dmask (reference varlen return_softmax parity):
+    cross-sequence entries 0, in-sequence rows softmax-normalized, and
+    relu(S_dmask) @ V reproduces the varlen forward; dropout replay
+    exact through the packed block partitioning."""
+    from xf_flash_attention_cutlass_tpu.api import flash_attn_varlen_func
+    from xf_flash_attention_cutlass_tpu.ops.varlen import flash_attn_varlen
+
+    rng = np.random.RandomState(0)
+    b, h, d = 3, 2, 64
+    len_q = np.array([60, 113, 30], np.int32)
+    len_k = np.array([90, 113, 70], np.int32)
+    cu_q = jnp.asarray(np.concatenate([[0], np.cumsum(len_q)]), jnp.int32)
+    cu_k = jnp.asarray(np.concatenate([[0], np.cumsum(len_k)]), jnp.int32)
+    tq, tk = int(cu_q[-1]), int(cu_k[-1])
+    q = rand(jax.random.PRNGKey(0), (tq, h, d), jnp.float32, scale=0.5)
+    k = rand(jax.random.PRNGKey(1), (tk, h, d), jnp.float32, scale=0.5)
+    v = rand(jax.random.PRNGKey(2), (tk, h, d), jnp.float32)
+
+    for p_drop in (0.0, 0.3):
+        out, lse, sd = flash_attn_varlen_func(
+            q, k, v, cu_q, cu_k, max_seqlen_q=113, max_seqlen_k=113,
+            causal=True, dropout_p=p_drop, dropout_seed=11,
+            return_attn_probs=True,
+        )
+        assert sd.shape == (h, tq, tk)
+        # cross-sequence entries must be exactly 0
+        qseg = np.repeat(np.arange(b), len_q)
+        kseg = np.repeat(np.arange(b), len_k)
+        cross = qseg[:, None] != kseg[None, :]
+        assert float(np.max(np.abs(np.asarray(sd)[:, cross]))) == 0.0
+        # replay: relu(S) @ V == forward output
+        o2 = jnp.einsum("hqk,khd->qhd", jnp.maximum(sd, 0.0), v)
+        if p_drop > 0.0:
+            o2 = o2 / (1 - p_drop)
+        assert max_err(out, o2) < 2e-5

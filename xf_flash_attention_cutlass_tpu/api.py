@@ -203,16 +203,16 @@ def flash_attn_varlen_func(
     """Ragged-batch flash attention (reference: test.py:102-149).
 
     `deterministic` is accepted and ignored: TPU grids are sequential so
-    results are always deterministic. `return_attn_probs` returns None
-    for S_dmask on this entry (known parity gap vs the reference's varlen
-    `return_softmax`): the sign-encoded mask plane is served only by the
-    dense entry via `attention_probs`, which has no segment/position
-    masking; varlen dropout correctness is validated statistically
-    (tests/test_dropout.py) instead.
+    results are always deterministic. With `return_attn_probs`, the
+    non-paged entry serves the packed (h, total_q, total_k) S_dmask via
+    `varlen_attn_probs` (the reference's varlen `return_softmax`,
+    export.cpp:669-937); the paged entry still returns None for it
+    (the reference's paged varlen path has no softmax return either).
     """
     from xf_flash_attention_cutlass_tpu.ops.varlen import (
         flash_attn_varlen,
         flash_attn_varlen_paged,
+        varlen_attn_probs,
     )
 
     del deterministic
@@ -255,9 +255,14 @@ def flash_attn_varlen_func(
         softmax_scale=softmax_scale,
     )
     if return_attn_probs:
-        # S_dmask is served only by the dense entry (attention_probs);
-        # varlen dropout is validated statistically (test_dropout.py)
-        return out, lse, None
+        s_dmask = varlen_attn_probs(
+            q, k, lse, cu_seqlens_q, cu_seqlens_k,
+            seqused_k=seqused_k, causal=causal, window=window_size,
+            softcap=softcap, softmax_scale=softmax_scale,
+            alibi_slopes=alibi_slopes, dropout_p=dropout_p,
+            dropout_seed=dropout_seed,
+        )
+        return out, lse, s_dmask
     return out
 
 

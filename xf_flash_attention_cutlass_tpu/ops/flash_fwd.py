@@ -388,6 +388,11 @@ def _probs_kernel(params: FlashParams, seq_k_padded: int, nq_nk, *refs):
     q_ref = next(it)
     k_ref = next(it)
     alibi_ref = next(it) if params.has_alibi else None
+    arows_ref = next(it) if params.has_alibi_rows else None
+    qseg_ref = next(it) if params.has_segments else None
+    kseg_ref = next(it) if params.has_segments else None
+    qpos_ref = next(it) if params.has_positions else None
+    kpos_ref = next(it) if params.has_positions else None
     lse_ref = next(it)
     seed_ref = next(it) if params.dropout_p > 0.0 else None
     s_ref = next(it)
@@ -401,9 +406,14 @@ def _probs_kernel(params: FlashParams, seq_k_padded: int, nq_nk, *refs):
 
     row_in_blk = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
     col_in_blk = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
-    offset = params.seq_k - params.seq_q
-    qpos = iq * bq + row_in_blk + offset
-    kpos = ik * bk + col_in_blk
+    if params.has_positions:
+        qpos = qpos_ref[0] + jnp.zeros((bq, bk), jnp.int32)
+        kpos = kpos_ref[0] + jnp.zeros((bq, bk), jnp.int32)
+    else:
+        offset = params.seq_k - params.seq_q
+        qpos = iq * bq + row_in_blk + offset
+        kpos = ik * bk + col_in_blk
+    kcol = ik * bk + col_in_blk
 
     q = q_ref[0, 0]
     k = k_ref[0, 0]
@@ -412,8 +422,8 @@ def _probs_kernel(params: FlashParams, seq_k_padded: int, nq_nk, *refs):
     )
     if params.softcap > 0.0:
         s = jnp.tanh(s / params.softcap) * params.softcap
-    if params.has_alibi:
-        slope = alibi_ref[ib, ih]
+    if params.has_alibi or params.has_alibi_rows:
+        slope = alibi_ref[ib, ih] if params.has_alibi else arows_ref[0, 0]
         s = s - slope * jnp.abs(qpos - kpos).astype(jnp.float32)
 
     keep = jnp.ones((bq, bk), jnp.bool_)
@@ -421,8 +431,10 @@ def _probs_kernel(params: FlashParams, seq_k_padded: int, nq_nk, *refs):
         keep = jnp.logical_and(keep, kpos <= qpos + wr)
     if params.masks_cols_left:
         keep = jnp.logical_and(keep, kpos >= qpos - wl)
+    if params.has_segments:
+        keep = jnp.logical_and(keep, qseg_ref[0] == kseg_ref[0])
     if seq_k_padded != params.seq_k:
-        keep = jnp.logical_and(keep, kpos < params.seq_k)
+        keep = jnp.logical_and(keep, kcol < params.seq_k)
 
     # (bq, 1) f32; -inf marks empty rows (and padded rows are sliced off by
     # the wrapper). Clamp before the exp so no inf flows through arithmetic.
@@ -450,6 +462,11 @@ def attention_probs(
     softcap: float = 0.0,
     softmax_scale: Optional[float] = None,
     alibi_slopes: Optional[jax.Array] = None,
+    alibi_row_slopes: Optional[jax.Array] = None,  # (b, h, sq) f32
+    q_segment_ids: Optional[jax.Array] = None,  # (b, sq) int32 (varlen)
+    kv_segment_ids: Optional[jax.Array] = None,  # (b, sk) int32
+    q_positions: Optional[jax.Array] = None,  # (b, sq) int32
+    kv_positions: Optional[jax.Array] = None,  # (b, sk) int32
     dropout_p: float = 0.0,
     dropout_seed: int = 0,
     block_q: Optional[int] = None,
@@ -491,10 +508,34 @@ def attention_probs(
         alibi_slopes = jnp.asarray(alibi_slopes, jnp.float32)
         if alibi_slopes.ndim == 1:
             alibi_slopes = jnp.broadcast_to(alibi_slopes[None, :], (b, h))
+    has_alibi_rows = alibi_row_slopes is not None
+    if has_alibi_rows:
+        alibi_row_slopes = jnp.pad(
+            jnp.asarray(alibi_row_slopes, jnp.float32),
+            ((0, 0), (0, 0), (0, sq_pad - sq)),
+        )[..., None]
+    has_segments = q_segment_ids is not None
+    if has_segments:
+        q_segment_ids = jnp.pad(
+            q_segment_ids, ((0, 0), (0, sq_pad - sq)), constant_values=-1
+        ).astype(jnp.int32)[:, :, None]
+        kv_segment_ids = jnp.pad(
+            kv_segment_ids, ((0, 0), (0, sk_pad - sk)), constant_values=-2
+        ).astype(jnp.int32)[:, None, :]
+    has_positions = q_positions is not None
+    if has_positions:
+        q_positions = jnp.pad(
+            q_positions, ((0, 0), (0, sq_pad - sq)), constant_values=-(2**30)
+        ).astype(jnp.int32)[:, :, None]
+        kv_positions = jnp.pad(
+            kv_positions, ((0, 0), (0, sk_pad - sk)), constant_values=2**30
+        ).astype(jnp.int32)[:, None, :]
 
     params = FlashParams(
         seq_q=sq, seq_k=sk, q_heads=h, kv_heads=h_k, scale=scale,
         causal=causal, window=window, softcap=softcap, has_alibi=has_alibi,
+        has_alibi_rows=has_alibi_rows, has_segments=has_segments,
+        has_positions=has_positions,
         dropout_p=dropout_p, block_q=bq, block_k=bk,
         interp_prng=bool(interpret),
     )
@@ -510,6 +551,25 @@ def attention_probs(
     if has_alibi:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
         inputs.append(alibi_slopes)
+    if has_alibi_rows:
+        in_specs.append(pl.BlockSpec(
+            (1, 1, bq, 1), lambda ib, ih, iq, ik: (ib, ih, iq, 0)
+        ))
+        inputs.append(alibi_row_slopes)
+    if has_segments:
+        in_specs.append(pl.BlockSpec(
+            (1, bq, 1), lambda ib, ih, iq, ik: (ib, iq, 0)))
+        inputs.append(q_segment_ids)
+        in_specs.append(pl.BlockSpec(
+            (1, 1, bk), lambda ib, ih, iq, ik: (ib, 0, ik)))
+        inputs.append(kv_segment_ids)
+    if has_positions:
+        in_specs.append(pl.BlockSpec(
+            (1, bq, 1), lambda ib, ih, iq, ik: (ib, iq, 0)))
+        inputs.append(q_positions)
+        in_specs.append(pl.BlockSpec(
+            (1, 1, bk), lambda ib, ih, iq, ik: (ib, 0, ik)))
+        inputs.append(kv_positions)
     in_specs.append(
         pl.BlockSpec((1, 1, bq, 1), lambda ib, ih, iq, ik: (ib, ih, iq, 0))
     )

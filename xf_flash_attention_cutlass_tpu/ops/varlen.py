@@ -157,6 +157,76 @@ def _packed_attention(
     return out[0].swapaxes(0, 1), lse[0]
 
 
+def varlen_attn_probs(
+    q: jax.Array,  # (total_q, h, d)
+    k: jax.Array,  # (total_k, h_k, d)
+    lse: jax.Array,  # (h, total_q) from flash_attn_varlen
+    cu_seqlens_q: jax.Array,
+    cu_seqlens_k: jax.Array,
+    *,
+    seqused_k: Optional[jax.Array] = None,
+    causal: bool = False,
+    window: Tuple[int, int] = (-1, -1),
+    softcap: float = 0.0,
+    softmax_scale: Optional[float] = None,
+    alibi_slopes: Optional[jax.Array] = None,
+    dropout_p: float = 0.0,
+    dropout_seed: int = 0,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Packed-layout S_dmask for the varlen entry (the reference's varlen
+    `return_softmax`, export.cpp:669-937): the (h, total_q, total_k)
+    probability plane with cross-sequence entries 0 and dropout-dropped
+    entries NEGATED. Must be called with the same inputs/flags/seed as the
+    flash_attn_varlen that produced `lse` (the packed fwd runs the same
+    dense grid, so the per-block dropout counters line up)."""
+    from xf_flash_attention_cutlass_tpu.ops.flash_fwd import attention_probs
+
+    total_q, h, d = q.shape
+    total_k = k.shape[0]
+    cu_q = cu_seqlens_q.astype(jnp.int32)
+    cu_k = cu_seqlens_k.astype(jnp.int32)
+    qseg = segments_from_cu_seqlens(cu_q, total_q)
+    kseg = segments_from_cu_seqlens(cu_k, total_k)
+    qidx = jnp.arange(total_q, dtype=jnp.int32)
+    kidx = jnp.arange(total_k, dtype=jnp.int32)
+    len_q = cu_q[1:] - cu_q[:-1]
+    len_k = cu_k[1:] - cu_k[:-1]
+    if seqused_k is not None:
+        len_k = jnp.minimum(len_k, seqused_k.astype(jnp.int32))
+        kseg = jnp.where(
+            kidx - cu_k[jnp.clip(kseg, 0, None)] < len_k[jnp.clip(kseg, 0, None)],
+            kseg,
+            -2,
+        )
+    seg_cq = jnp.clip(qseg, 0, None)
+    qpos = qidx - cu_q[seg_cq] + len_k[seg_cq] - len_q[seg_cq]
+    qpos = jnp.where(qseg >= 0, qpos, -(2**30)).astype(jnp.int32)
+    seg_ck = jnp.clip(kseg, 0, None)
+    kpos = jnp.where(kseg >= 0, kidx - cu_k[seg_ck], 2**30).astype(jnp.int32)
+
+    alibi_row_slopes = None
+    if alibi_slopes is not None:
+        alibi_slopes = jnp.asarray(alibi_slopes, jnp.float32)
+        if alibi_slopes.ndim == 2:
+            alibi_row_slopes = _row_slopes_from_segments(alibi_slopes, qseg)
+            alibi_slopes = None
+
+    probs = attention_probs(
+        q.swapaxes(0, 1)[None],
+        k.swapaxes(0, 1)[None],
+        lse[None],
+        causal=causal, window=window, softcap=softcap,
+        softmax_scale=softmax_scale, alibi_slopes=alibi_slopes,
+        alibi_row_slopes=alibi_row_slopes,
+        q_segment_ids=qseg[None], kv_segment_ids=kseg[None],
+        q_positions=qpos[None], kv_positions=kpos[None],
+        dropout_p=dropout_p, dropout_seed=dropout_seed,
+        interpret=interpret,
+    )
+    return probs[0]  # (h, total_q, total_k)
+
+
 def flash_attn_varlen_paged(
     q: jax.Array,  # (total_q, h, d) packed ragged queries
     k_cache: jax.Array,  # (num_blocks, page, h_k, d) — reference layout
