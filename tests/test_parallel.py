@@ -862,3 +862,108 @@ def test_dp_tp_engine_all_features_composed():
     out = run(mesh)
     for rid in prompts:
         assert list(out[rid]) == list(ref[rid]), rid
+
+
+@pytest.mark.parametrize("quant", [None, "int8"])
+def test_pp_decode_step_matches_single(quant):
+    """Pipeline-parallel decode (parallel/pp_serve.py): layer-axis-sharded
+    pools + GPipe microbatch schedule == the single-device decode step
+    (logits, sampled tokens AND the updated pools; fill/drain phases must
+    only touch the trash page)."""
+    from xf_flash_attention_cutlass_tpu.parallel.pp_serve import (
+        pp_decode_step, shard_pp_pools,
+    )
+    from xf_flash_attention_cutlass_tpu.parallel.pp import shard_pp_params
+    from xf_flash_attention_cutlass_tpu.quant import quantize_kv
+    from xf_flash_attention_cutlass_tpu.serve.engine import decode_step
+
+    cfg = LlamaConfig(
+        vocab_size=64, dim=64, n_layers=4, n_heads=4, n_kv_heads=2,
+        ffn_dim=96, max_seq_len=256,
+    )
+    params = init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    L, num_pages, page = cfg.n_layers, 9, 16
+    trash = num_pages - 1
+    b, mp = 4, 2
+    kpool = jax.random.normal(
+        jax.random.PRNGKey(1),
+        (L, num_pages, cfg.n_kv_heads, page, cfg.head_dim), jnp.float32,
+    )
+    vpool = jax.random.normal(jax.random.PRNGKey(2), kpool.shape, jnp.float32)
+    if quant:
+        kq, ks = quantize_kv(kpool, quant)
+        vq, vs = quantize_kv(vpool, quant)
+        pools = dict(k=kq, v=vq, k_s=ks[..., 0], v_s=vs[..., 0])
+    else:
+        pools = dict(k=kpool, v=vpool)
+    bt = jnp.asarray(
+        [[0, 1], [2, 3], [4, 5], [6, 7]], jnp.int32
+    )
+    kv_lens = jnp.asarray([17, 30, 5, 22], jnp.int32)
+    tokens = jnp.asarray([[5], [9], [3], [60]], jnp.int32)
+
+    ref_tok, ref_logits, ref_pools = decode_step(
+        params, tokens, {k: v.copy() for k, v in pools.items()}, bt, kv_lens,
+        cfg, quant,
+    )
+
+    from xf_flash_attention_cutlass_tpu.parallel import make_mesh
+
+    mesh = make_mesh(pp=2, devices=_cpu_devices(2))
+    sp = shard_pp_params(params, mesh)
+    spools = shard_pp_pools({k: v.copy() for k, v in pools.items()}, mesh)
+    tok, logits, out_pools = pp_decode_step(
+        sp, tokens, spools, bt, kv_lens, cfg, mesh, trash_page=trash,
+        quant=quant,
+    )
+    assert max_err(logits, ref_logits) < 1e-4
+    assert jnp.array_equal(tok, ref_tok)
+    for name in pools:
+        a = jnp.asarray(out_pools[name])
+        r = jnp.asarray(ref_pools[name])
+        # the trash page absorbs fill/drain garbage: compare live pages only
+        live = jnp.asarray([p for p in range(num_pages) if p != trash])
+        assert max_err(a[:, live], r[:, live]) < 1e-5, name
+
+
+def test_pp_decode_step_pp4_partial_fill():
+    """pp=4 with n_micro=2 < pp: more drain phases than fill, every stage
+    sees garbage phases on both sides — trash-page routing must hold."""
+    from xf_flash_attention_cutlass_tpu.parallel.pp_serve import (
+        pp_decode_step, shard_pp_pools,
+    )
+    from xf_flash_attention_cutlass_tpu.parallel.pp import shard_pp_params
+    from xf_flash_attention_cutlass_tpu.serve.engine import decode_step
+
+    cfg = LlamaConfig(
+        vocab_size=64, dim=64, n_layers=4, n_heads=4, n_kv_heads=2,
+        ffn_dim=96, max_seq_len=256,
+    )
+    params = init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    L, num_pages, page = cfg.n_layers, 9, 16
+    trash = num_pages - 1
+    kpool = jax.random.normal(
+        jax.random.PRNGKey(1),
+        (L, num_pages, cfg.n_kv_heads, page, cfg.head_dim), jnp.float32,
+    )
+    vpool = jax.random.normal(jax.random.PRNGKey(2), kpool.shape, jnp.float32)
+    pools = dict(k=kpool, v=vpool)
+    bt = jnp.asarray([[0, 1], [2, 3], [4, 5], [6, 7]], jnp.int32)
+    kv_lens = jnp.asarray([17, 30, 5, 22], jnp.int32)
+    tokens = jnp.asarray([[5], [9], [3], [60]], jnp.int32)
+
+    ref_tok, ref_logits, _ = decode_step(
+        params, tokens, {k: v.copy() for k, v in pools.items()}, bt, kv_lens,
+        cfg, None,
+    )
+    from xf_flash_attention_cutlass_tpu.parallel import make_mesh
+
+    mesh = make_mesh(pp=4, devices=_cpu_devices(4))
+    sp = shard_pp_params(params, mesh)
+    spools = shard_pp_pools({k: v.copy() for k, v in pools.items()}, mesh)
+    tok, logits, _ = pp_decode_step(
+        sp, tokens, spools, bt, kv_lens, cfg, mesh, trash_page=trash,
+        n_micro=2,
+    )
+    assert max_err(logits, ref_logits) < 1e-4
+    assert jnp.array_equal(tok, ref_tok)

@@ -12,6 +12,10 @@ from xf_flash_attention_cutlass_tpu.parallel.pp import (  # noqa: F401
     pp_loss_and_grad,
     shard_pp_params,
 )
+from xf_flash_attention_cutlass_tpu.parallel.pp_serve import (  # noqa: F401
+    pp_decode_step,
+    shard_pp_pools,
+)
 from xf_flash_attention_cutlass_tpu.parallel.ep import (  # noqa: F401
     moe_ep_forward,
     moe_ep_loss_and_grad,
