@@ -442,3 +442,30 @@ def test_engine_prefill_lanes_with_prefix_and_spec():
         full = prefix + prompts[rid]
         assert list(out[rid]) == _naive_greedy(params, cfg, full, 5), rid
     assert list(out[2]) == _naive_greedy(params, cfg, prompts[2], 5)
+
+
+def test_engine_speculative_moe_token_exact():
+    """Speculative decoding composes with the MoE family (the verifier's
+    L-token step runs the MoE MLP at L>1): stream equals naive greedy."""
+    from xf_flash_attention_cutlass_tpu.models.moe import (
+        MoEConfig, init_moe_params, moe_forward,
+    )
+
+    cfg = MoEConfig(
+        vocab_size=97, dim=64, n_layers=2, n_heads=4, n_kv_heads=2,
+        ffn_dim=128, max_seq_len=512, n_experts=4, top_k=2,
+        capacity_factor=8.0,
+    )
+    params = init_moe_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    ecfg = EngineConfig(max_batch=2, page_size=16, num_pages=32, max_seq=256,
+                        prefill_chunk=16, speculate_k=3)
+    eng = DecodeEngine(params, cfg, ecfg, dtype=jnp.float32)
+    prompt = [3, 7, 7, 7, 7, 21, 60]
+    n_new = 6
+    eng.add_request(0, prompt, n_new)
+    out = eng.run()
+    toks = list(prompt)
+    for _ in range(n_new):
+        logits, _ = moe_forward(params, jnp.asarray([toks], jnp.int32), cfg)
+        toks.append(int(jnp.argmax(logits[0, -1])))
+    assert list(out[0]) == toks[len(prompt):]
