@@ -86,6 +86,13 @@ def report():
     # itself IS on by default in the mesh engine (serve/engine.py
     # _run_decode/_run_verify sp_batch=True, falls back to psums when
     # b % tp != 0 or MoE) and is token-identity-tested on the CPU mesh.
+    # PP (parallel/pp_serve.pp_decode_step) is the capacity axis, not a
+    # throughput row: layer-sharded weights+pools serve models beyond
+    # tp x HBM. Its ICI volume is tiny (pp-1 activation hops of b x dim
+    # bytes per step vs TP's 2 allreduces PER LAYER), but per-phase stage
+    # utilization is n_micro/(n_micro + pp - 1) and per-request latency
+    # grows with the pipeline depth — use PP when the model doesn't fit
+    # tp x HBM, dp x tp otherwise.
     # Sensitivity of the modeled rows to the overlap assumption:
     print("\noverlap sensitivity (tp=4, 4 chips):")
     for ov in (0.0, 0.5, 1.0):
