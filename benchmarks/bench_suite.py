@@ -211,7 +211,7 @@ def _engine_verify_step_seconds(L, quant, n_layers, quant_weights):
     return timed_scan(step, (tokens, pools), params, bt, kv_lens)
 
 
-def _moe_decode_step_seconds(n_layers, quant_weights=False):
+def _moe_decode_step_seconds(n_layers, quant_weights=False, quant=None):
     from xf_flash_attention_cutlass_tpu.models.llama import pack_params_for_decode
     from xf_flash_attention_cutlass_tpu.models.moe import (
         MoEConfig, init_moe_params, quantize_moe_params,
@@ -233,31 +233,40 @@ def _moe_decode_step_seconds(n_layers, quant_weights=False):
     B, page, mp = 64, 256, 8
     num_pages = B * mp + 1
     shape = (n_layers, num_pages, cfg.n_kv_heads, page, cfg.head_dim)
-    pools = dict(k=jnp.zeros(shape, jnp.bfloat16),
-                 v=jnp.zeros(shape, jnp.bfloat16))
+    if quant:
+        vdt = jnp.int8 if quant == "int8" else jnp.float8_e4m3fn
+        pools = dict(
+            k=jnp.zeros(shape, vdt), v=jnp.zeros(shape, vdt),
+            k_s=jnp.ones(shape[:-1], jnp.float32),
+            v_s=jnp.ones(shape[:-1], jnp.float32),
+        )
+    else:
+        pools = dict(k=jnp.zeros(shape, jnp.bfloat16),
+                     v=jnp.zeros(shape, jnp.bfloat16))
     bt = jnp.arange(B * mp, dtype=jnp.int32).reshape(B, mp)
     kv_lens = jnp.full((B,), 1500, jnp.int32)
     tokens = jnp.zeros((B, 1), jnp.int32)
 
     def step(carry, params, bt, kv_lens):
         t, pools = carry
-        nt, _, pools = decode_core(params, t, pools, bt, kv_lens, cfg, None)
+        nt, _, pools = decode_core(params, t, pools, bt, kv_lens, cfg, quant)
         return (nt[:, None].astype(jnp.int32), pools)
 
     return timed_scan(step, (tokens, pools), params, bt, kv_lens)
 
 
-def bench_moe_decode(quant_weights=False):
+def bench_moe_decode(quant_weights=False, quant=None):
     """Second model family (models/moe.py) through the same decode core:
     per-layer cost of the sparse-MoE MLP (GShard capacity dispatch + expert
     einsums/qmm) + paged attention at the 8B-attention geometry."""
     B = 64
-    t2 = _moe_decode_step_seconds(2, quant_weights)
-    t4 = _moe_decode_step_seconds(4, quant_weights)
+    t2 = _moe_decode_step_seconds(2, quant_weights, quant)
+    t4 = _moe_decode_step_seconds(4, quant_weights, quant)
     per_layer = (t4 - t2) / 2
     fixed = max(t2 - 2 * per_layer, 0.0)
     toks = B / (fixed + 32 * per_layer)
-    wtag = "int8-w" if quant_weights else "bf16"
+    wtag = "int8-w" if quant_weights else "bf16-w"
+    wtag += f"+{quant}-kv" if quant else "+bf16-kv"
     print(
         f"moe_engine_decode {wtag} (4 experts x 14336, top-2): "
         f"{per_layer*1e6:.0f}us/layer + {fixed*1e6:.0f}us fixed -> "
@@ -381,6 +390,7 @@ if __name__ == "__main__":
     bench_engine_decode("int8", quant_weights=True)
     bench_moe_decode()
     bench_moe_decode(quant_weights=True)
+    bench_moe_decode(quant_weights=True, quant="int8")
     bench_speculative_verify()
     for bucket in (512, 2048):
         bench_engine_prefill(bucket)
