@@ -12,7 +12,7 @@ from xf_flash_attention_cutlass_tpu.ops.varlen import (
     flash_attn_varlen,
     segments_from_cu_seqlens,
 )
-from xf_flash_attention_cutlass_tpu.utils.testing import assert_close_2ref, rand
+from xf_flash_attention_cutlass_tpu.utils.testing import assert_close_2ref, max_err, rand
 
 
 def make_ragged(key, b, max_sq, max_sk, h, h_k, d, dtype, decode=False):
@@ -374,3 +374,40 @@ def test_varlen_paged_fallback_logged(caplog):
     ):
         flash_attn_varlen_paged(q, kc, vc, bt, cu_q, seqused, causal=True)
     assert not any("DENSE gather" in r.message for r in caplog.records)
+
+
+def test_varlen_paged_rows_split_route():
+    """The varlen-paged path through the rows-split (large query blocks no
+    longer fall back to the dense gather): forced small XFA_PAGED_ROWS_MAX
+    must leave results identical to the unsplit kernel."""
+    import os
+    import numpy as np
+    from xf_flash_attention_cutlass_tpu.ops.varlen import flash_attn_varlen_paged
+
+    rng = np.random.default_rng(2)
+    b, h, h_k, d, page = 2, 4, 2, 64, 16
+    q_lens = [48, 30]
+    kv_lens = [90, 60]
+    max_pages, nb = 8, 20
+    kc = rand(jax.random.PRNGKey(1), (nb, page, h_k, d), jnp.float32)
+    vc = rand(jax.random.PRNGKey(2), (nb, page, h_k, d), jnp.float32)
+    bt = jnp.asarray(
+        rng.permutation(nb)[: b * max_pages].reshape(b, max_pages), jnp.int32
+    )
+    q = rand(jax.random.PRNGKey(3), (sum(q_lens), h, d), jnp.float32)
+    cu_q = jnp.asarray(np.cumsum([0] + q_lens), jnp.int32)
+    sek = jnp.asarray(kv_lens, jnp.int32)
+
+    ref_o, ref_l = flash_attn_varlen_paged(
+        q, kc, vc, bt, cu_q, sek, max_seqlen_q=48, causal=True
+    )
+    os.environ["XFA_PAGED_ROWS_MAX"] = "32"  # sq_max*g = 96 -> 3 groups
+    try:
+        o, l = flash_attn_varlen_paged(
+            q, kc, vc, bt, cu_q, sek, max_seqlen_q=48, causal=True
+        )
+    finally:
+        del os.environ["XFA_PAGED_ROWS_MAX"]
+    assert max_err(o, ref_o) < 1e-6
+    fin = jnp.isfinite(ref_l)
+    assert max_err(jnp.where(fin, l, 0.0), jnp.where(fin, ref_l, 0.0)) < 1e-6
