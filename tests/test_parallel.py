@@ -967,3 +967,52 @@ def test_pp_decode_step_pp4_partial_fill():
     )
     assert max_err(logits, ref_logits) < 1e-4
     assert jnp.array_equal(tok, ref_tok)
+
+
+def test_pp_tp_decode_step_matches_single():
+    """3-D serving composition: stages over pp, Megatron shards over tp
+    inside each stage (kv-head-sharded pools, psummed projections,
+    vocab-gathered head)."""
+    from xf_flash_attention_cutlass_tpu.parallel.pp_serve import (
+        pp_decode_step, shard_pp_pools,
+    )
+    from xf_flash_attention_cutlass_tpu.parallel.pp import shard_pp_params
+    from xf_flash_attention_cutlass_tpu.serve.engine import decode_step
+
+    cfg = LlamaConfig(
+        vocab_size=64, dim=64, n_layers=4, n_heads=4, n_kv_heads=2,
+        ffn_dim=96, max_seq_len=256,
+    )
+    params = init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    L, num_pages, page = cfg.n_layers, 9, 16
+    trash = num_pages - 1
+    kpool = jax.random.normal(
+        jax.random.PRNGKey(1),
+        (L, num_pages, cfg.n_kv_heads, page, cfg.head_dim), jnp.float32,
+    )
+    vpool = jax.random.normal(jax.random.PRNGKey(2), kpool.shape, jnp.float32)
+    pools = dict(k=kpool, v=vpool)
+    bt = jnp.asarray([[0, 1], [2, 3], [4, 5], [6, 7]], jnp.int32)
+    kv_lens = jnp.asarray([17, 30, 5, 22], jnp.int32)
+    tokens = jnp.asarray([[5], [9], [3], [60]], jnp.int32)
+
+    ref_tok, ref_logits, ref_pools = decode_step(
+        params, tokens, {k: v.copy() for k, v in pools.items()}, bt, kv_lens,
+        cfg, None,
+    )
+    from xf_flash_attention_cutlass_tpu.parallel import make_mesh
+
+    mesh = make_mesh(pp=2, tp=2, devices=_cpu_devices(4))
+    sp = shard_pp_params(params, mesh)
+    spools = shard_pp_pools({k: v.copy() for k, v in pools.items()}, mesh)
+    tok, logits, out_pools = pp_decode_step(
+        sp, tokens, spools, bt, kv_lens, cfg, mesh, trash_page=trash,
+    )
+    assert max_err(logits, ref_logits) < 1e-4
+    assert jnp.array_equal(tok, ref_tok)
+    live = jnp.asarray([p for p in range(num_pages) if p != trash])
+    for name in pools:
+        assert max_err(
+            jnp.asarray(out_pools[name])[:, live],
+            jnp.asarray(ref_pools[name])[:, live],
+        ) < 1e-5, name

@@ -45,18 +45,28 @@ from xf_flash_attention_cutlass_tpu.ops.paged_append import paged_append
 from xf_flash_attention_cutlass_tpu.ops.rotary import rotary_frequencies
 from xf_flash_attention_cutlass_tpu.parallel.pp import (
     PP,
+    TP,
     pp_param_partition_specs,
 )
 from xf_flash_attention_cutlass_tpu.serve.engine import _attn_qkv, _mlp
 
 
-def pp_pool_specs(pools: Dict[str, jax.Array]) -> Dict[str, Any]:
-    """Pools lead with the layer axis: shard it over "pp"."""
-    return {k: P(PP, *([None] * (v.ndim - 1))) for k, v in pools.items()}
+def pp_pool_specs(
+    pools: Dict[str, jax.Array], tp: bool = False
+) -> Dict[str, Any]:
+    """Pools lead with the layer axis: shard it over "pp"; with tp, the
+    kv-head axis (position 2 of (L, pages, h_k, page[, d])) additionally
+    shards over "tp" (the tp_serve layout inside each stage)."""
+    if not tp:
+        return {k: P(PP, *([None] * (v.ndim - 1))) for k, v in pools.items()}
+    return {
+        k: P(PP, None, TP, *([None] * (v.ndim - 3)))
+        for k, v in pools.items()
+    }
 
 
 def shard_pp_pools(pools, mesh: Mesh):
-    specs = pp_pool_specs(pools)
+    specs = pp_pool_specs(pools, tp=dict(mesh.shape).get(TP, 1) > 1)
     return {
         k: jax.device_put(v, NamedSharding(mesh, specs[k]))
         for k, v in pools.items()
@@ -82,6 +92,7 @@ def pp_decode_step(
     still pp-sharded. Requires b % n_micro == 0 and cfg.n_layers % pp == 0.
     """
     pp_size = mesh.shape[PP]
+    tp_size = dict(mesh.shape).get(TP, 1)
     b = tokens.shape[0]
     if n_micro is None:
         n_micro = pp_size
@@ -94,8 +105,13 @@ def pp_decode_step(
     mb = b // n_micro
     mp = block_tables.shape[1]
 
-    pspecs = pp_param_partition_specs(params)
-    kspecs = pp_pool_specs(pools)
+    pspecs = pp_param_partition_specs(params, tp=tp_size > 1)
+    kspecs = pp_pool_specs(pools, tp=tp_size > 1)
+    if tp_size > 1:
+        from xf_flash_attention_cutlass_tpu.parallel.tp import _local_cfg
+
+        cfg = _local_cfg(cfg, tp_size)
+    tp_axis = TP if tp_size > 1 else None
 
     def local(params, tokens, pools, bt, kv_lens):
         idx = jax.lax.axis_index(PP)
@@ -144,8 +160,11 @@ def pp_decode_step(
                         layer_idx=l, interpret=interpret,
                     )
                 o = o.reshape(mb, 1, cfg.n_heads * cfg.head_dim)
-                x = x + _proj(o, layer["wo"])
-                x = _mlp(layer, x, cfg)
+                partial = _proj(o, layer["wo"])
+                if tp_axis is not None:
+                    partial = jax.lax.psum(partial, tp_axis)
+                x = x + partial
+                x = _mlp(layer, x, cfg, axis_name=tp_axis)
                 carry = (x, kp, vp, ks, vs) if quant else (x, kp, vp)
                 return carry, None
 
@@ -212,6 +231,9 @@ def pp_decode_step(
         ).reshape(b, 1, d)
         x = rms_norm(x, params["final_norm"], cfg.rms_eps)
         logits = _proj(x[:, 0], params["lm_head"]).astype(jnp.float32)
+        if tp_axis is not None:
+            # vocab-sharded head -> full logits on every device
+            logits = jax.lax.all_gather(logits, tp_axis, axis=-1, tiled=True)
         next_tokens = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         return next_tokens, logits, pools
 
