@@ -66,23 +66,19 @@ def main():
     # rolled into lax.scan INSIDE one executable (output feeds the next
     # query — a forced data dependency) and per-step time is the slope
     # between two scan lengths: zero per-step dispatch cost in the measure.
-    from xf_flash_attention_cutlass_tpu.utils.profiling import timed_scan
+    from xf_flash_attention_cutlass_tpu.utils.profiling import paired_slope_scan
 
-    # Best of 3 independent timed_scan estimates (each itself a
-    # median-of-trials): chip/tunnel state drifts a few % between
-    # measurement windows (CLAUDE.md), and for a bandwidth-bound kernel
-    # noise only ever reads SLOW, so min is the honest speed-of-light
-    # estimate. (Round-3 probe: dropping the per-token scale DMAs
-    # entirely changed nothing — 292 vs 295 us/step — so the scale
-    # stream is fully hidden and the remaining gap is fixed overheads +
-    # measurement noise, not bytes.)
-    t_layer = max(
-        min(
-            timed_scan(step, q, kq, ks, vq, vs, bt, kv_lens)
-            for _ in range(3)
-        ),
-        1e-9,
-    )
+    # Round-4 estimator: median of >=9 back-to-back PAIRED slopes
+    # (paired_slope_scan). Rounds 1-3 took min-of-3 independent estimates
+    # on the claim "noise only reads slow"; the round-3 verdict showed
+    # that claim is false for a SLOPE (a slow short scan + fast long scan
+    # reads FAST, and min selects those tails — r3 captures spread
+    # 0.928-0.998). The paired median cannot be flattered by the tails
+    # and moves immediately on a real regression; min/median are both
+    # reported so the spread stays visible.
+    r = paired_slope_scan(step, q, kq, ks, vq, vs, bt, kv_lens)
+    t_layer = max(r["median"], 1e-9)
+    t_layer_min = max(r["min"], 1e-9)
 
     # bytes the step must move: live K+V values (1B fp8) + per-token scales
     live_tokens = int(np.sum(np.asarray(kv_lens)))
@@ -103,6 +99,9 @@ def main():
                 "unit": "tok/s attention-kernel bound, 64 reqs @ ~1.5k ctx"
                 " (full-stack engine: see benchmarks/bench_suite.py)",
                 "vs_baseline": round(vs_baseline, 4),
+                "vs_baseline_best": round(t_ideal / t_layer_min, 4),
+                "estimator": "median of 9 paired slopes (see "
+                "utils/profiling.paired_slope_scan)",
             }
         )
     )

@@ -542,20 +542,19 @@ def paged_attention(
     block_tables = block_tables.astype(jnp.int32)
 
     if num_splits <= 0:
-        # Occupancy-style default (the reference's num_splits_heuristic,
-        # /root/reference/csrc/paged_attn.cpp:128-163, re-targeted at
-        # TensorCores instead of SMs): fill the chip's independent cores
-        # with (batch x split) work units. On single-TensorCore v5e this
-        # resolves to 1 — measured a no-op there (fp8 paged decode:
+        # Default is 1 everywhere: this kernel's grid is declared
+        # dimension_semantics=('arbitrary','arbitrary') because the
+        # cross-grid-step DMA handoff REQUIRES sequential execution, so
+        # extra splits can never occupy a second TensorCore (Megacore
+        # v4/v5p included) — they only add partial-accumulator HBM traffic
+        # plus a combine pass. Measured a no-op on v5e (fp8 paged decode:
         # b=1/32k ctx 0.92 of roofline with 1 split vs 0.91 with 4;
-        # b=64/1.5k 0.93 — splitting only adds combine traffic). On a
-        # Megacore part (v4/v5p, 2 cores) a b=1 decode picks 2 so both
-        # cores see work. Explicit num_splits still overrides.
-        from xf_flash_attention_cutlass_tpu.utils.profiling import detect_chip
-
-        num_splits = num_splits_heuristic(
-            b, detect_chip().tensor_cores, max_pages, 128
-        )
+        # b=64/1.5k 0.93). The reference's occupancy heuristic
+        # (/root/reference/csrc/paged_attn.cpp:128-163) is still exported
+        # as `num_splits_heuristic` for explicit use, and explicit
+        # num_splits overrides; re-enable a heuristic default only with a
+        # Megacore-parallel kernel variant (round-3 advisor finding).
+        num_splits = 1
     num_splits = max(1, min(num_splits, max_pages))
     pps = cdiv(max_pages, num_splits)
 

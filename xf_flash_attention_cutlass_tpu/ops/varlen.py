@@ -18,6 +18,7 @@ exactly the continuous-batching contract the serve layer needs.
 from __future__ import annotations
 
 import logging
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -289,14 +290,20 @@ def flash_attn_varlen_paged(
     paged_splittable = causal or (
         window[0] < 0 and window[1] < 0 and alibi_slopes is None
     )
-    if (sq_max * g > 3072 and not paged_splittable) or dropout_p > 0.0:
+    # unsplittable geometries must fit the paged kernel's whole-block VMEM
+    # budget: same bound paged_attention self-splits at (query blocks past
+    # ~1024 rows fail to COMPILE — register spills at real geometries;
+    # round-3 CLAUDE.md finding). The old 3072 constant predated that
+    # ceiling and interpret/small-shape tests never catch it.
+    rows_max = int(os.environ.get("XFA_PAGED_ROWS_MAX", 1024))
+    if (sq_max * g > rows_max and not paged_splittable) or dropout_p > 0.0:
         # the dense gather materializes b x max_pages x page rows: the
         # traffic class changes from live-pages to whole-table. Surface
         # that to serving callers (trace-time decision: statics only).
         reason = (
             f"query block too large for the paged kernel "
-            f"(sq_max*group = {sq_max * g} > 3072)"
-            if sq_max * g > 3072
+            f"(sq_max*group = {sq_max * g} > {rows_max})"
+            if sq_max * g > rows_max
             else "dropout requested (paged kernel is inference-only)"
         )
         logger.debug(

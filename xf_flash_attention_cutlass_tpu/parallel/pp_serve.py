@@ -97,10 +97,10 @@ def pp_decode_step(
     if n_micro is None:
         n_micro = pp_size
     if b % n_micro:
-        raise ValueError(f"batch {b} must divide n_micro={n_micro}")
+        raise ValueError(f"n_micro={n_micro} must divide batch {b}")
     if cfg.n_layers % pp_size:
         raise ValueError(
-            f"n_layers {cfg.n_layers} must divide pp={pp_size}"
+            f"pp={pp_size} must divide n_layers {cfg.n_layers}"
         )
     mb = b // n_micro
     mp = block_tables.shape[1]

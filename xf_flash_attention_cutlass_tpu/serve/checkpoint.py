@@ -166,6 +166,13 @@ def load_engine(
         engine._sample_base = jnp.asarray(z["sample_base"])
         engine.trash_page = state["trash_page"]
         engine._prefixes = state.get("prefixes", {})
+        for pf in engine._prefixes.values():
+            # pre-dp checkpoints stored a single replica's page list under
+            # "pages"; migrate to the replica-indexed layout.
+            if "pages_by_replica" not in pf and "pages" in pf:
+                pf["pages_by_replica"] = [pf.pop("pages")]
+            if "n_pages" not in pf:
+                pf["n_pages"] = len(pf["pages_by_replica"][0])
         engine._slot_prefix = {
             int(k): v for k, v in state.get("slot_prefix", {}).items()
         }

@@ -242,6 +242,81 @@ def timed_scan(
     return float(np.median(trials))
 
 
+def paired_slope_scan(
+    step: Callable,
+    x0,
+    *args,
+    pairs: int = 9,
+    target_seconds: float = 0.15,
+    fetch: Optional[Callable] = None,
+):
+    """Headline estimator (round 4): median of back-to-back PAIRED slopes.
+
+    Each estimate times the short scan and the long scan immediately
+    back-to-back (ONE invocation each, no min-of-K) and takes the slope
+    (t_long - t_short) / (n_long - n_short); the reported number is the
+    MEDIAN over `pairs` such estimates.
+
+    Why not min-of-K independent estimates (rounds 1-3): slope noise is
+    NOT one-sided — a slow tunnel window during the short scan plus a
+    fast window during the long scan reads FAST, and min selects exactly
+    those tails, so the headline can only be flattered and a future ~5%
+    regression hides inside the min. Pairing the two lengths back-to-back
+    minimizes the tunnel-state drift between them, and the median is
+    robust to both tails while moving immediately on a real regression.
+
+    Returns dict(median, min, max, estimates) — report median; min/max
+    and the raw estimates document the spread.
+    """
+    import numpy as np
+
+    if fetch is None:
+        fetch = lambda x: float(jax.tree_util.tree_leaves(x)[0].reshape(-1)[0])
+
+    def make(n):
+        @jax.jit
+        def run(x, *a):
+            def body(c, _):
+                return step(c, *a), None
+
+            c, _ = jax.lax.scan(body, x, None, length=n)
+            return c
+
+        return run
+
+    def once(run):
+        t0 = time.perf_counter()
+        fetch(run(x0, *args))
+        return time.perf_counter() - t0
+
+    # calibration: same clamped-slope scheme as timed_scan (an unclamped
+    # estimate can explode the scan length into a tunnel-killing RPC)
+    cal1, cal2 = make(4), make(44)
+    fetch(cal1(x0, *args))  # compile + warm
+    fetch(cal2(x0, *args))
+    t1 = min(once(cal1) for _ in range(3))
+    t2 = min(once(cal2) for _ in range(3))
+    est = max((t2 - t1) / 40, 1e-6)
+    n1 = 4
+    n2 = n1 + min(max(8, int(target_seconds / est) + 1), 2000)
+    run2 = cal2 if n2 == 44 else make(n2)
+    if run2 is not cal2:
+        fetch(run2(x0, *args))  # compile
+    once(cal1)  # one throwaway pair to settle caches
+    once(run2)
+    ests = []
+    for _ in range(pairs):
+        ts = once(cal1)
+        tl = once(run2)
+        ests.append((tl - ts) / (n2 - n1))
+    return dict(
+        median=float(np.median(ests)),
+        min=float(np.min(ests)),
+        max=float(np.max(ests)),
+        estimates=[float(e) for e in ests],
+    )
+
+
 def timed_chain(
     step: Callable,
     x0,
