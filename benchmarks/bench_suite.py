@@ -89,16 +89,30 @@ def bench_paged(kv_dtype, b=64, h=32, h_k=8, d=128, page=256, max_seq=2048,
     else:
         kq, ks = quantize_kv(kp, kv_dtype)
         vq, vs = quantize_kv(vp, kv_dtype)
+        if page % 32 or page % 128:
+            # serving layout for small pages: pools stored PADDED (values
+            # to the 32-row int8/fp8 sublane tile, scale planes to 128
+            # lanes) so the per-call jnp.pad (a whole-pool copy per step,
+            # measured 2x the kernel itself at page 16) never runs
+            dr = ((page + 31) // 32) * 32
+            sl = ((dr + 127) // 128) * 128
+            kq = jnp.pad(kq, ((0, 0), (0, 0), (0, dr - page), (0, 0)))
+            vq = jnp.pad(vq, ((0, 0), (0, 0), (0, dr - page), (0, 0)))
+            ks = jnp.pad(ks[..., 0], ((0, 0), (0, 0), (0, sl - page)))
+            vs = jnp.pad(vs[..., 0], ((0, 0), (0, 0), (0, sl - page)))
 
         def step(qa, kq, vq, ks, vs, bt, kv_lens):
             return paged_attention(
-                qa, kq, vq, bt, kv_lens, causal=True, k_scales=ks, v_scales=vs
+                qa, kq, vq, bt, kv_lens, causal=True, k_scales=ks,
+                v_scales=vs, page_size=page,
             )[0].astype(qa.dtype)
 
         t = timed_scan(step, q, kq, vq, ks, vs, bt, kv_lens, lengths=(4, 64))
         nbytes = 2 * live_pages * page * h_k * (d + 4)
     rep = RooflineReport(seconds=t, bytes=nbytes, chip=CHIP)
     tag = f" b={b} ctx={max_seq//1024}k" if (b != 64 or max_seq != 2048) else ""
+    if page != 256:
+        tag += f" page={page}"
     print(rep.line(f"paged_decode kv={kv_dtype}{tag}"))
 
 
@@ -380,6 +394,12 @@ if __name__ == "__main__":
         bench_dense_fwd_bwd(seq)
     for kv in ("bf16", "int8", "fp8_e4m3"):
         bench_paged(kv)
+    # the reference's block-16 deployment geometry (utils.h:518-521);
+    # roofline counts LIVE bytes, so the small-page DMA tax (quant: 2x
+    # sublane padding + 128-lane scale planes) shows up honestly
+    bench_paged("bf16", page=16, max_seq=1024, b=32)
+    bench_paged("fp8_e4m3", page=16, max_seq=1024, b=32)
+    bench_paged("int8", page=16, max_seq=1024, b=32)
     # long-context stress (round-3 verdict #8): one request, hundreds of
     # pages per table — exercises int32 offset math + SMEM table sizing
     bench_paged("fp8_e4m3", b=1, max_seq=65536, full_len=True)

@@ -1016,3 +1016,150 @@ def test_pp_tp_decode_step_matches_single():
             jnp.asarray(out_pools[name])[:, live],
             jnp.asarray(ref_pools[name])[:, live],
         ) < 1e-5, name
+
+
+# ---- zigzag (striped) causal ring: balanced ownership (round 4) ----
+
+
+def test_zigzag_permute_roundtrip():
+    from xf_flash_attention_cutlass_tpu.parallel.ring import (
+        zigzag_permute, zigzag_unpermute,
+    )
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 3, 64, 8), jnp.float32)
+    for n in (2, 4, 8):
+        y = zigzag_permute(x, n, axis=2)
+        assert max_err(zigzag_unpermute(y, n, axis=2), x) == 0.0
+    # device 0's shard is [half 0, half 2n-1]
+    n = 4
+    sh = 64 // (2 * n)
+    y = zigzag_permute(x, n, axis=2)
+    assert max_err(y[:, :, :sh], x[:, :, :sh]) == 0.0
+    assert max_err(y[:, :, sh : 2 * sh], x[:, :, (2 * n - 1) * sh :]) == 0.0
+
+
+@pytest.mark.parametrize("n", [4, 8])
+def test_zigzag_ring_matches_dense(n):
+    from xf_flash_attention_cutlass_tpu.parallel.ring import (
+        ring_attention_zigzag, zigzag_permute, zigzag_unpermute,
+    )
+
+    mesh = make_mesh(cp=n, devices=_cpu_devices(n))
+    b, h, d = 1, 2, 64
+    s = 32 * n  # 16 tokens per half-chunk
+    q = jax.random.normal(jax.random.PRNGKey(1), (b, h, s, d), jnp.float32)
+    k = jax.random.normal(jax.random.PRNGKey(2), (b, h, s, d), jnp.float32)
+    v = jax.random.normal(jax.random.PRNGKey(3), (b, h, s, d), jnp.float32)
+    o_ref, lse_ref = flash_fwd(q, k, v, causal=True)
+
+    ring = jax.jit(
+        jax.shard_map(
+            lambda q, k, v: ring_attention_zigzag(q, k, v, "cp"),
+            mesh=mesh,
+            in_specs=(P(None, None, "cp", None),) * 3,
+            out_specs=(P(None, None, "cp", None), P(None, None, "cp")),
+            check_vma=False,
+        )
+    )
+    o, lse = ring(
+        zigzag_permute(q, n, 2), zigzag_permute(k, n, 2),
+        zigzag_permute(v, n, 2),
+    )
+    assert max_err(zigzag_unpermute(o, n, 2), o_ref) < 1e-4
+    assert max_err(zigzag_unpermute(lse, n, 2), lse_ref) < 1e-4
+
+
+def test_zigzag_ring_gqa():
+    from xf_flash_attention_cutlass_tpu.parallel.ring import (
+        ring_attention_zigzag, zigzag_permute, zigzag_unpermute,
+    )
+
+    n = 4
+    mesh = make_mesh(cp=n, devices=_cpu_devices(n))
+    b, h, h_k, d = 1, 4, 2, 64
+    s = 32 * n
+    q = jax.random.normal(jax.random.PRNGKey(1), (b, h, s, d), jnp.float32)
+    k = jax.random.normal(jax.random.PRNGKey(2), (b, h_k, s, d), jnp.float32)
+    v = jax.random.normal(jax.random.PRNGKey(3), (b, h_k, s, d), jnp.float32)
+    o_ref, _ = flash_fwd(q, k, v, causal=True)
+    ring = jax.jit(
+        jax.shard_map(
+            lambda q, k, v: ring_attention_zigzag(q, k, v, "cp")[0],
+            mesh=mesh,
+            in_specs=(P(None, None, "cp", None),) * 3,
+            out_specs=P(None, None, "cp", None),
+            check_vma=False,
+        )
+    )
+    o = ring(
+        zigzag_permute(q, n, 2), zigzag_permute(k, n, 2),
+        zigzag_permute(v, n, 2),
+    )
+    assert max_err(zigzag_unpermute(o, n, 2), o_ref) < 1e-4
+
+
+@pytest.mark.parametrize("n", [4, 8])
+def test_zigzag_ring_grad_matches_dense(n):
+    from xf_flash_attention_cutlass_tpu.models.llama import scale_grad
+    from xf_flash_attention_cutlass_tpu.parallel.ring import (
+        ring_attention_zigzag, zigzag_permute, zigzag_unpermute,
+    )
+
+    mesh = make_mesh(cp=n, devices=_cpu_devices(n))
+    b, h, d = 1, 2, 64
+    s = 32 * n
+    q = jax.random.normal(jax.random.PRNGKey(1), (b, h, s, d), jnp.float32)
+    k = jax.random.normal(jax.random.PRNGKey(2), (b, h, s, d), jnp.float32)
+    v = jax.random.normal(jax.random.PRNGKey(3), (b, h, s, d), jnp.float32)
+    ref_loss, ref_grads = _cp_grad_ref(q, k, v, True)
+
+    def local_loss(q, k, v):
+        o, _ = ring_attention_zigzag(q, k, v, "cp")
+        loss = jax.lax.psum(jnp.sum(jnp.sin(o.astype(jnp.float32))), "cp")
+        return scale_grad(loss, 1.0 / jax.lax.axis_size("cp"))
+
+    ring_vg = jax.jit(
+        jax.shard_map(
+            jax.value_and_grad(local_loss, argnums=(0, 1, 2)),
+            mesh=mesh,
+            in_specs=(P(None, None, "cp", None),) * 3,
+            out_specs=(P(), (P(None, None, "cp", None),) * 3),
+            check_vma=False,
+        )
+    )
+    loss, grads = ring_vg(
+        zigzag_permute(q, n, 2), zigzag_permute(k, n, 2),
+        zigzag_permute(v, n, 2),
+    )
+    # sum over b*h*s sin() terms: tolerance is relative (merge order
+    # differs from the dense kernel's)
+    assert abs(float(loss) - float(ref_loss)) < 1e-6 * abs(float(ref_loss)) + 1e-4
+    for g, g_ref in zip(grads, ref_grads):
+        assert max_err(zigzag_unpermute(g, n, 2), g_ref) < 1e-4
+
+
+def test_zigzag_ring_balanced_schedule():
+    """The point of zigzag: per-device live work is IDENTICAL across
+    devices and hops. Counting live quadrant half-planes (full = 1,
+    diagonal = 0.5) of the static schedule: every device sees exactly 2
+    per hop (t=0: two diagonals + one full; t>0: two fulls), total 2n —
+    vs ring order where device i totals 2(i+1) (diag hop 1, i full hops
+    of a double-width chunk... i.e. a ~2x spread across devices)."""
+    n = 8
+    totals = []
+    for i in range(n):
+        a_half, b_half = i, 2 * n - 1 - i
+        per_hop = []
+        for t in range(n):
+            src = (i - t) % n
+            live = 0.0
+            for qh in (a_half, b_half):
+                for kh in (src, 2 * n - 1 - src):
+                    if qh > kh:
+                        live += 1.0
+                    elif qh == kh:
+                        live += 0.5
+            per_hop.append(live)
+        assert all(x == 2.0 for x in per_hop), (i, per_hop)
+        totals.append(sum(per_hop))
+    assert all(t == 2.0 * n for t in totals), totals

@@ -177,3 +177,64 @@ def test_quantized_linear_pytree():
     layer2 = jax.tree_util.tree_unflatten(treedef, leaves)
     x = rand(jax.random.PRNGKey(0), (8, 64), jnp.float32)
     assert max_err(layer(x), layer2(x)) == 0.0
+
+
+@pytest.mark.parametrize("qdt", ["int8", "fp8_e4m3"])
+def test_paged_quant_prepadded_pools_page16(qdt):
+    """Serving convention for small pages: pools stored PADDED (values to
+    the dtype's sublane tile, scale planes to 128 lanes) + page_size
+    passed explicitly must match tight pools padded per-call
+    (ops/paged.py padded-column mode; round-4 verdict #2)."""
+    q, kp, vp, bt, kv_lens = _paged_setup(7, page=16)
+    kq, ks = quantize_kv(kp, qdt)
+    vq, vs = quantize_kv(vp, qdt)
+    o_tight, lse_tight = paged_attention(
+        q, kq, vq, bt, kv_lens, causal=True, k_scales=ks, v_scales=vs
+    )
+    # pre-pad: values 16 -> 32 rows, scales 16 -> 128 lanes
+    pad_rows = ((0, 0), (0, 0), (0, 16), (0, 0))
+    kq_p = jnp.pad(kq, pad_rows)
+    vq_p = jnp.pad(vq, pad_rows)
+    ks_p = jnp.pad(ks[..., 0], ((0, 0), (0, 0), (0, 112)))
+    vs_p = jnp.pad(vs[..., 0], ((0, 0), (0, 0), (0, 112)))
+    o_pad, lse_pad = paged_attention(
+        q, kq_p, vq_p, bt, kv_lens, causal=True,
+        k_scales=ks_p, v_scales=vs_p, page_size=16,
+    )
+    assert max_err(o_pad, o_tight) < 1e-6
+    assert max_err(
+        jnp.where(jnp.isfinite(lse_pad), lse_pad, 0.0),
+        jnp.where(jnp.isfinite(lse_tight), lse_tight, 0.0),
+    ) < 1e-6
+
+
+@pytest.mark.parametrize("qdt", ["int8", "fp8_e4m3"])
+def test_paged_append_page16_quant_fallback(qdt):
+    """Tight quantized page-16 pools cannot take the Pallas append path
+    (int8/fp8 sublane tile 32 > page, scale lanes < 128); paged_append
+    must route to the scatter fallback and stay correct."""
+    from xf_flash_attention_cutlass_tpu.ops.paged_append import paged_append
+
+    b, hk, d, page = 4, 2, 128, 16
+    nb = 16
+    kp = rand(jax.random.PRNGKey(0), (nb, hk, page, d), jnp.float32)
+    kq, ks = quantize_kv(kp, qdt)
+    vq, vs = quantize_kv(kp, qdt)
+    ks, vs = ks[..., 0], vs[..., 0]
+    bt = jnp.arange(b * 4, dtype=jnp.int32).reshape(b, 4)
+    pos = jnp.asarray([0, 15, 16, 37], jnp.int32)
+    knew = rand(jax.random.PRNGKey(3), (b, 1, hk, d), jnp.float32)
+    vnew = rand(jax.random.PRNGKey(4), (b, 1, hk, d), jnp.float32)
+    kp2, vp2, ks2, vs2 = paged_append(
+        kq, vq, knew, vnew, bt, pos, k_scales=ks, v_scales=vs
+    )
+    # per-token amax scaling: int8 rel err ~1/254, fp8-e4m3 ~1/16 (3
+    # mantissa bits) of the token's amax
+    rel_tol = 0.02 if qdt == "int8" else 0.08
+    for i in range(b):
+        p = int(pos[i])
+        pe = int(bt[i, p // page])
+        row = p % page
+        got = kp2[pe, :, row, :].astype(jnp.float32) * ks2[pe, :, row][:, None]
+        err = float(jnp.max(jnp.abs(got - knew[i, 0])))
+        assert err < rel_tol * float(jnp.max(jnp.abs(knew[i, 0]))), i

@@ -51,9 +51,12 @@ def append_kv_paged(
     block_tables: jax.Array,  # (b, max_pages) int32
     cache_seqlens: jax.Array,  # (b,) int32 — insert position per batch
     layer_idx: Optional[jax.Array] = None,  # scalar: pools carry a layer axis
+    page_size: Optional[int] = None,  # true tokens/page for padded pools
 ) -> Tuple[jax.Array, jax.Array]:
     """Scatter new tokens into the paged pool (internal layout)."""
     num_pages, h_k, page, d = k_pool.shape[-4:]
+    if page_size is not None:
+        page = int(page_size)
     b, s_new, _, _ = k_new.shape
     t = jnp.arange(s_new, dtype=jnp.int32)[None, :]  # (1, s_new)
     pos = cache_seqlens.astype(jnp.int32)[:, None] + t  # (b, s_new)
@@ -79,6 +82,7 @@ def append_kv_paged_quantized(
     block_tables: jax.Array,
     cache_seqlens: jax.Array,
     layer_idx: Optional[jax.Array] = None,
+    page_size: Optional[int] = None,  # true tokens/page for padded pools
 ):
     """Quantize new tokens per-token and scatter values + scales."""
     from xf_flash_attention_cutlass_tpu.quant.kv import quantize_kv
@@ -88,6 +92,8 @@ def append_kv_paged_quantized(
         k_scales = k_scales[..., 0]
         v_scales = v_scales[..., 0]
     num_pages, h_k, page, d = k_pool.shape[-4:]
+    if page_size is not None:
+        page = int(page_size)
     b, s_new, _, _ = k_new.shape
     t = jnp.arange(s_new, dtype=jnp.int32)[None, :]
     pos = cache_seqlens.astype(jnp.int32)[:, None] + t

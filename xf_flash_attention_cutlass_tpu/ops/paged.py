@@ -61,7 +61,17 @@ class PagedParams:
     rows: int  # padded q rows per kv head (>= group*seq_q)
     kv_heads: int
     head_dim: int
-    page_size: int
+    page_size: int  # TRUE tokens per page (position algebra)
+    # VMEM score-column stride per page == dma_rows == value rows
+    # stored/fetched per page (page padded up to the kv dtype's sublane
+    # tile; pad columns masked). scale_stride = lanes per page in the
+    # quant scale planes (128-lane padded for DMA alignment); when it
+    # exceeds page_stride the kernel compacts the scale vector in
+    # registers once per burst (reshape/slice — measured cheap next to
+    # the 4-8x dead-column compute the old unified 128 stride cost).
+    page_stride: int
+    dma_rows: int
+    scale_stride: int  # 0 when not quantized
     pages_per_split: int
     scale: float
     causal: bool
@@ -113,12 +123,16 @@ def _paged_kernel(params: PagedParams, *refs):
     isplit = pl.program_id(1)
     pps = params.pages_per_split
     page = params.page_size
+    ps = params.page_stride  # VMEM score columns per page (== dma_rows)
+    dr = params.dma_rows  # value rows fetched per page
+    ss = params.scale_stride or ps  # scale-plane lanes per page
+    padded_cols = ps != page  # some columns are storage pad, not tokens
     rows = params.rows
     g = params.group
     sq = params.seq_q
     h_k = params.kv_heads
     pb = params.pages_per_burst
-    burst = pb * page  # key columns per pipeline step
+    burst = pb * ps  # VMEM key columns per pipeline step
 
     kv_len = kv_lens_ref[ib]
     leftpad = leftpad_ref[ib] if params.has_leftpad else 0
@@ -174,7 +188,8 @@ def _paged_kernel(params: PagedParams, *refs):
             else:
                 ksrc = k_hbm.at[pe]
                 vsrc = v_hbm.at[pe]
-            sl = slice(j * page, (j + 1) * page)
+            sl = slice(j * ps, j * ps + dr)  # value rows of page slot j
+            ssl = slice(j * ss, (j + 1) * ss)  # scale lanes of page slot j
             k_side.append((live,
                 pltpu.make_async_copy(ksrc, k_buf.at[slot, :, sl], sems.at[slot, 0]),
             ))
@@ -190,12 +205,12 @@ def _paged_kernel(params: PagedParams, *refs):
                     vssrc = vs_hbm.at[pe]
                 k_side.append((live,
                     pltpu.make_async_copy(
-                        kssrc, ks_buf.at[slot, :, sl], sems.at[slot, 2]
+                        kssrc, ks_buf.at[slot, :, ssl], sems.at[slot, 2]
                     ),
                 ))
                 v_side.append((live,
                     pltpu.make_async_copy(
-                        vssrc, vs_buf.at[slot, :, sl], sems.at[slot, 3]
+                        vssrc, vs_buf.at[slot, :, ssl], sems.at[slot, 3]
                     ),
                 ))
         return k_side, v_side
@@ -279,6 +294,27 @@ def _paged_kernel(params: PagedParams, *refs):
         row_i = jax.lax.broadcasted_iota(jnp.int32, (rows, burst), 0)
         col_i = jax.lax.broadcasted_iota(jnp.int32, (rows, burst), 1)
         qpos = kv_len - sq + jnp.minimum(row_i // g, sq - 1)
+        if padded_cols:
+            # VMEM column -> token offset within the burst: page slot j
+            # spans ps columns of which the first `page` are tokens; pad
+            # columns are dead (live_col) — their kcol would alias the
+            # next page's tokens, so the mask is not optional
+            pj_i = col_i // ps
+            t_i = col_i - pj_i * ps
+            colmap = pj_i * page + t_i
+            live_col = t_i < page
+        else:
+            colmap = col_i
+            live_col = None
+
+        def scale_vec(sv):
+            # (h_k, pb*ss) -> (h_k, pb*ps): compact each page's first ps
+            # scale lanes next to its score columns (no-op when ss == ps)
+            if ss == ps:
+                return sv
+            return jnp.concatenate(
+                [sv[:, j * ss : j * ss + ps] for j in range(pb)], axis=1
+            )
 
         def body(i, _):
             slot = (s0 + i) % 2
@@ -295,7 +331,7 @@ def _paged_kernel(params: PagedParams, *refs):
             wait_all(k_side)
 
             kv_start = (lo + i * pb) * page
-            kcol = kv_start + col_i
+            kcol = kv_start + colmap
 
             # Quantized K/V feed the dots at their storage dtype (Mosaic
             # lowers mixed bf16 x int8/fp8 contractions); the per-token
@@ -312,7 +348,7 @@ def _paged_kernel(params: PagedParams, *refs):
                 preferred_element_type=jnp.float32,
             )  # (h_k, rows, page)
             if params.kv_quant:
-                s = s * ks_buf[slot][:, None, :].astype(jnp.float32)
+                s = s * scale_vec(ks_buf[slot])[:, None, :].astype(jnp.float32)
             if params.softcap > 0.0:
                 s = jnp.tanh(s / params.softcap) * params.softcap
 
@@ -330,6 +366,8 @@ def _paged_kernel(params: PagedParams, *refs):
                     keep = jnp.logical_and(keep, kcol >= qpos - wl)
                 if params.has_leftpad:
                     keep = jnp.logical_and(keep, kcol >= leftpad)
+            if live_col is not None:
+                keep = jnp.logical_and(keep, live_col)
 
             if params.has_alibi:
                 slope = alibi_ref[0]  # (h_k, rows, 1)
@@ -361,7 +399,7 @@ def _paged_kernel(params: PagedParams, *refs):
             v = v_buf[slot]
             if params.kv_quant:
                 # v's per-token scale rides on p (cols axis), not on v
-                p = p * vs_buf[slot][:, None, :].astype(p.dtype)
+                p = p * scale_vec(vs_buf[slot])[:, None, :].astype(p.dtype)
                 p = p.astype(q.dtype)  # p must stay float vs int8/fp8 v
             else:
                 p = p.astype(v.dtype)
@@ -439,6 +477,7 @@ def paged_attention(
     k_scales: Optional[jax.Array] = None,  # (num_pages, h_k, page[, 1]) f32
     v_scales: Optional[jax.Array] = None,
     layer_idx: Optional[jax.Array] = None,  # scalar int32: pools are (L, ...)
+    page_size: Optional[int] = None,  # true tokens/page when pools are padded
     interpret: Optional[bool] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Paged-KV attention over new query tokens. Returns (O, LSE).
@@ -449,6 +488,22 @@ def paged_attention(
     With layer_idx, pools carry a leading layer axis (L, num_pages, ...) and
     the kernel reads layer layer_idx without slicing the buffer — the
     whole-stack pools stay one array through a lax.scan over layers.
+
+    Small pages (the reference's block-16 deployment geometry,
+    /root/reference/csrc/flash_attn/src/utils.h:518-521) are supported at
+    any dtype: pages below the DMA tile are stored padded — values to the
+    kv dtype's sublane tile (f32:8, bf16:16, int8/fp8:32), quant scale
+    planes to 128 lanes — the kernel walks score columns at the value
+    stride (pad columns masked) and compacts each burst's scale lanes in
+    registers (slice+concat; the 128-col unified stride measured 3x
+    slower — dead-column compute dominates at decode row counts).
+    Callers with tight pools pay a per-call jnp.pad (a PER-STEP pool
+    copy under scan — fine for one-shots, 2x the kernel cost in a loop);
+    serving callers store pools pre-padded and pass `page_size` (the
+    true page) so the pad is a no-op. Measured tax at page 16 (RESULTS_
+    r4.md): bf16 0.73, int8/fp8 ~0.23 of live-byte roofline (2x sublane
+    padding + scale planes + 16-token DMA granularity); the TPU-native
+    geometry is page 256 (0.90+).
     """
     if interpret is None:
         interpret = default_interpret()
@@ -461,7 +516,13 @@ def paged_attention(
         k_pool = k_pool.astype(jnp.float32)
         v_pool = v_pool.astype(jnp.float32)
     b, sq, h, d = q.shape
-    num_pages, h_k, page, _ = k_pool.shape[-4:]
+    num_pages, h_k, stored_page, _ = k_pool.shape[-4:]
+    page = int(page_size) if page_size is not None else stored_page
+    if page > stored_page:
+        raise ValueError(
+            f"page_size {page} exceeds the pool's stored page dim "
+            f"{stored_page}"
+        )
     if has_layer and k_pool.ndim != 5:
         raise ValueError(
             f"layer_idx given but k_pool is not (L, pages, h_k, page, d): "
@@ -499,7 +560,7 @@ def paged_attention(
                 softcap=softcap, alibi_slopes=alibi_slopes,
                 cache_leftpad=cache_leftpad, num_splits=num_splits,
                 k_scales=k_scales, v_scales=v_scales, layer_idx=layer_idx,
-                interpret=interpret,
+                page_size=page, interpret=interpret,
             )
             outs.append(o_i)
             lses.append(lse_i)
@@ -513,11 +574,21 @@ def paged_attention(
     q = (q.astype(jnp.float32) * scale).astype(q.dtype)
     qg = q.reshape(b, sq, h_k, g, d).transpose(0, 2, 1, 3, 4).reshape(b, h_k, rows_real, d)
     d_pad = max(next_multiple(d, 128), 128)
-    page_pad = max(next_multiple(page, 8), 8)
+    # DMA tile geometry: value pages are stored padded to the kv dtype's
+    # sublane tile (dma_rows); quant scale planes to 128 lanes. When the
+    # lane-padded scale stride exceeds the value rows, the kernel walks
+    # VMEM at page_stride columns per page (pad columns masked) so scale
+    # lanes and score columns stay aligned with ONE index map.
+    sub_req = 32 if kv_quant else (16 if k_pool.dtype == jnp.bfloat16 else 8)
+    dma_rows = max(next_multiple(page, sub_req), sub_req)
+    page_stride = dma_rows
+    scale_stride = (
+        max(next_multiple(dma_rows, 128), 128) if kv_quant else 0
+    )
     qg = jnp.pad(qg, ((0, 0), (0, 0), (0, rows - rows_real), (0, d_pad - d)))
-    if d_pad != d or page_pad != page:
+    if d_pad != d or dma_rows != stored_page:
         pad = ((0, 0),) * (k_pool.ndim - 2) + (
-            (0, page_pad - page), (0, d_pad - d),
+            (0, dma_rows - stored_page), (0, d_pad - d),
         )
         k_pool = jnp.pad(k_pool, pad)
         v_pool = jnp.pad(v_pool, pad)
@@ -525,8 +596,10 @@ def paged_attention(
         if k_scales.ndim == k_pool.ndim:  # trailing (..., 1) from quantize_kv
             k_scales = k_scales[..., 0]
             v_scales = v_scales[..., 0]
-        if page_pad != page:
-            spad = ((0, 0),) * (k_scales.ndim - 1) + ((0, page_pad - page),)
+        if k_scales.shape[-1] != scale_stride:
+            spad = ((0, 0),) * (k_scales.ndim - 1) + (
+                (0, scale_stride - k_scales.shape[-1]),
+            )
             k_scales = jnp.pad(k_scales, spad)
             v_scales = jnp.pad(v_scales, spad)
         # Scales stay fp32. bf16 scale pools were measured SLOWER on v5e
@@ -575,7 +648,7 @@ def paged_attention(
     # DMA issue + matmul launch overhead, small enough that the 2-slot
     # double buffer (with the cross-step handoff filling inter-step gaps)
     # keeps the HBM pipe continuously busy
-    page_bytes = h_k * page_pad * d_pad * k_pool.dtype.itemsize
+    page_bytes = h_k * dma_rows * d_pad * k_pool.dtype.itemsize
     # measured on v5e (8B decode shape, page 256): 512KB bursts beat 1MB for
     # both bf16 (0.91 vs 0.85 of roofline) and fp8 (0.83 vs 0.76) — the
     # smaller step pipelines the 2-slot DMA double-buffer more tightly
@@ -589,7 +662,10 @@ def paged_attention(
         rows=rows,
         kv_heads=h_k,
         head_dim=d_pad,
-        page_size=page_pad,
+        page_size=page,
+        page_stride=page_stride,
+        dma_rows=dma_rows,
+        scale_stride=scale_stride,
         pages_per_split=pps,
         scale=scale,
         causal=causal,
@@ -636,15 +712,16 @@ def paged_attention(
     num_scalar = len(scalars)
 
     kv_dtype = k_pool.dtype
-    burst = pages_per_burst * page_pad
+    burst = pages_per_burst * page_stride
     scratch_shapes = [
         pltpu.VMEM((2, h_k, burst, d_pad), kv_dtype),  # k slots
         pltpu.VMEM((2, h_k, burst, d_pad), kv_dtype),  # v slots
     ]
     if kv_quant:
+        sburst = pages_per_burst * scale_stride
         scratch_shapes += [
-            pltpu.VMEM((2, h_k, burst), jnp.float32),
-            pltpu.VMEM((2, h_k, burst), jnp.float32),
+            pltpu.VMEM((2, h_k, sburst), jnp.float32),
+            pltpu.VMEM((2, h_k, sburst), jnp.float32),
         ]
     scratch_shapes += [
         pltpu.VMEM((h_k, rows, 1), jnp.float32),  # m

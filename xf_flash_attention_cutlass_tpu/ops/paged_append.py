@@ -28,6 +28,7 @@ dtype, lane multiples of 128), so single rows cannot be written directly:
 from __future__ import annotations
 
 import functools
+import logging
 from typing import Optional
 
 import jax
@@ -36,6 +37,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from xf_flash_attention_cutlass_tpu.utils import cdiv, default_interpret
+
+logger = logging.getLogger(__name__)
 
 
 def _sublane_tile(dtype) -> int:
@@ -63,6 +66,7 @@ def _decode_append_kernel(
     b: int,
     w: int,  # value RMW window (sublane-aligned rows)
     ws: int,  # scale RMW window (lane-aligned columns)
+    page: int,  # TRUE tokens per page (pools may store more, padded)
     quant: bool,
     has_layer: bool,
     qmax: float,
@@ -92,8 +96,6 @@ def _decode_append_kernel(
     kswin = next(it) if quant else None  # (b, h_k, ws) scale windows
     vswin = next(it) if quant else None
     sems = next(it)  # (8,)
-
-    page = k_out.shape[-2]
 
     if quant:
         _quantize_tokens(knew_ref, kq_scr, ksc_scr, qmax)
@@ -162,6 +164,7 @@ def _prefill_append_kernel(
     s: int,  # tokens per grid step (chunk)
     w: int,
     ws: int,
+    page: int,
     quant: bool,
     has_layer: bool,
     qmax: float,
@@ -192,7 +195,6 @@ def _prefill_append_kernel(
     vsstage = next(it) if quant else None
     sems = next(it)
 
-    page = k_out.shape[-2]
     h_k = kstage.shape[0]
 
     if quant:
@@ -278,6 +280,7 @@ def paged_append(
     k_scales: Optional[jax.Array] = None,  # (L?, num_pages, h_k, page) f32
     v_scales: Optional[jax.Array] = None,
     layer_idx: Optional[jax.Array] = None,
+    page_size: Optional[int] = None,  # true tokens/page when pools are padded
     interpret: Optional[bool] = None,
     mode: str = "auto",  # "auto" | "decode" | "prefill"
 ):
@@ -302,29 +305,47 @@ def paged_append(
     quant = k_scales is not None
     has_layer = layer_idx is not None
     b, sq, h_k, d = k_new.shape
-    page = k_pool.shape[-2]
+    stored_page = k_pool.shape[-2]
+    page = int(page_size) if page_size is not None else stored_page
     qdt = k_pool.dtype
     qmax = 127.0 if qdt == jnp.int8 else 448.0
-    w = min(_sublane_tile(qdt), page)
-    ws = min(128, page)
+    w = min(_sublane_tile(qdt), stored_page)
+    ws = min(128, k_scales.shape[-1]) if quant else min(128, stored_page)
+    prefill0 = sq > 1 and mode != "decode"
 
-    # Mosaic DMA slices need 128-aligned lane dims; small-head models fall
-    # back to the XLA scatter (correct, pays a pool copy — fine at that size)
-    if d % 128 != 0 or page % w != 0:
+    # Mosaic DMA windows must be tile-aligned: value windows need the kv
+    # dtype's full sublane tile to divide the stored page (tight int8/fp8
+    # pools below 32 rows cannot take the Pallas path), quant scale
+    # windows need 128-lane alignment of the scale plane, and prefill's
+    # whole-window writes cannot span pages (padded small-page pools).
+    # Misaligned geometries fall back to the XLA scatter — correct, pays
+    # a pool copy per call; fine for parity-geometry use, logged once.
+    if (
+        d % 128 != 0
+        or stored_page % _sublane_tile(qdt) != 0
+        or (quant and k_scales.shape[-1] % 128 != 0)
+        or (prefill0 and page != stored_page)
+    ):
         from xf_flash_attention_cutlass_tpu.ops.kvcache import (
             append_kv_paged,
             append_kv_paged_quantized,
         )
 
+        logger.debug(
+            "paged_append: geometry (d=%d, stored_page=%d, page=%d, "
+            "quant=%s) falls back to the XLA scatter (pool copy per call)",
+            d, stored_page, page, bool(quant),
+        )
         if quant:
             kp, ks, vp, vs = append_kv_paged_quantized(
                 k_pool, k_scales, v_pool, v_scales, k_new, v_new,
                 block_tables, positions, layer_idx=layer_idx,
+                page_size=page,
             )
             return kp, vp, ks, vs
         return append_kv_paged(
             k_pool, v_pool, k_new, v_new, block_tables, positions,
-            layer_idx=layer_idx,
+            layer_idx=layer_idx, page_size=page,
         )
     if not quant:
         k_new = k_new.astype(k_pool.dtype)
@@ -342,7 +363,7 @@ def paged_append(
                 kp, vp, k_new[:, i : i + 1], v_new[:, i : i + 1],
                 block_tables, positions + i,
                 k_scales=ks, v_scales=vs, layer_idx=layer_idx,
-                interpret=interpret, mode="decode",
+                page_size=page, interpret=interpret, mode="decode",
             )
             if quant:
                 kp, vp, ks, vs = out
@@ -428,7 +449,8 @@ def paged_append(
             ]
         scratch.append(pltpu.SemaphoreType.DMA((8,)))
         kernel = functools.partial(
-            _prefill_append_kernel, chunk, w, ws, quant, has_layer, qmax
+            _prefill_append_kernel, chunk, w, ws, page, quant, has_layer,
+            qmax,
         )
     else:
         scratch = []
@@ -450,7 +472,7 @@ def paged_append(
             ]
         scratch.append(pltpu.SemaphoreType.DMA((8,)))
         kernel = functools.partial(
-            _decode_append_kernel, b, w, ws, quant, has_layer, qmax
+            _decode_append_kernel, b, w, ws, page, quant, has_layer, qmax
         )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(

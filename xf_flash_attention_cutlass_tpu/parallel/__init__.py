@@ -5,7 +5,12 @@ from xf_flash_attention_cutlass_tpu.parallel.tp import (  # noqa: F401
     tp_forward,
     tp_loss_and_grad,
 )
-from xf_flash_attention_cutlass_tpu.parallel.ring import ring_attention  # noqa: F401
+from xf_flash_attention_cutlass_tpu.parallel.ring import (  # noqa: F401
+    ring_attention,
+    ring_attention_zigzag,
+    zigzag_permute,
+    zigzag_unpermute,
+)
 from xf_flash_attention_cutlass_tpu.parallel.ulysses import ulysses_attention  # noqa: F401
 from xf_flash_attention_cutlass_tpu.parallel.pp import (  # noqa: F401
     pp_forward,

@@ -18,12 +18,15 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import logging
 from collections import deque
 from typing import Dict, List, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+logger = logging.getLogger(__name__)
 
 from xf_flash_attention_cutlass_tpu.models.llama import (
     LlamaConfig,
@@ -629,6 +632,17 @@ class DecodeEngine:
         )
         self.trash_page = num_pages_local
         if ecfg.kv_quant:
+            if ecfg.page_size % 128:
+                # supported for reference parity (block-16 geometry) but
+                # every step pays pool-copy fallbacks: paged_attention
+                # pads the tight pools per call and paged_append takes
+                # the XLA scatter. Production quantized serving wants
+                # page_size a multiple of 128 (256 measured best).
+                logger.warning(
+                    "quantized KV with page_size=%d (< multiple of 128) "
+                    "runs on pool-copy fallback paths; use page_size=256 "
+                    "for production throughput", ecfg.page_size,
+                )
             vdt = jnp.int8 if ecfg.kv_quant == "int8" else jnp.float8_e4m3fn
             self.pools = dict(
                 k=jnp.zeros(shape, vdt),
