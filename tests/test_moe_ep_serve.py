@@ -1,0 +1,153 @@
+"""Expert-parallel MoE serving (parallel/ep_serve.py, round-4 verdict #5):
+ep_decode_step must be token-identical to per-shard single-device MoE
+decode — experts sharded over "ep", batch/pools sharded like dp, GShard
+blocks exchanged by all_to_all."""
+
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from xf_flash_attention_cutlass_tpu.models.moe import MoEConfig, init_moe_params
+from xf_flash_attention_cutlass_tpu.parallel.ep_serve import (
+    ep_decode_step,
+    ep_param_partition_specs,
+    shard_ep,
+)
+from xf_flash_attention_cutlass_tpu.parallel import make_mesh
+from xf_flash_attention_cutlass_tpu.serve.engine import decode_step
+from xf_flash_attention_cutlass_tpu.utils.testing import max_err
+
+
+def _cpu_devices(n):
+    devs = jax.devices("cpu")
+    assert len(devs) >= n, f"need {n} cpu devices"
+    return devs[:n]
+
+
+def _moe_setup(seed=0):
+    cfg = MoEConfig(
+        vocab_size=64, dim=64, n_layers=2, n_heads=4, n_kv_heads=2,
+        ffn_dim=96, max_seq_len=256, n_experts=4, top_k=2,
+        capacity_factor=8.0,
+    )
+    params = init_moe_params(jax.random.PRNGKey(seed), cfg, dtype=jnp.float32)
+    return cfg, params
+
+
+def _pools_and_batch(cfg, n_shards, local_pages=8, b_local=2, page=16, mp=4):
+    L = cfg.n_layers
+    num_pages = n_shards * local_pages
+    kpool = jax.random.normal(
+        jax.random.PRNGKey(1),
+        (L, num_pages, cfg.n_kv_heads, page, cfg.head_dim), jnp.float32,
+    )
+    vpool = jax.random.normal(jax.random.PRNGKey(2), kpool.shape, jnp.float32)
+    pools = dict(k=kpool, v=vpool)
+    bt = jnp.asarray(
+        [[0, 1, 2, 3], [4, 5, 6, 7]] * n_shards, jnp.int32
+    )[: n_shards * b_local]
+    kv_lens = jnp.asarray(
+        [17, 40, 9, 33, 25, 12, 30, 8][: n_shards * b_local], jnp.int32
+    )
+    tokens = jnp.asarray(
+        [[5], [9], [31], [2], [44], [7], [13], [20]][: n_shards * b_local],
+        jnp.int32,
+    )
+    return pools, bt, kv_lens, tokens, local_pages, b_local
+
+
+def _per_shard_reference(params, cfg, pools, bt, kv_lens, tokens,
+                         n_shards, local_pages, b_local):
+    ref_toks, ref_logits, ref_pools = [], [], []
+    for r in range(n_shards):
+        pr = {k: v[:, r * local_pages:(r + 1) * local_pages].copy()
+              for k, v in pools.items()}
+        t, lg, pp = decode_step(
+            params, tokens[r * b_local:(r + 1) * b_local], pr,
+            bt[r * b_local:(r + 1) * b_local],
+            kv_lens[r * b_local:(r + 1) * b_local], cfg,
+        )
+        ref_toks.append(t)
+        ref_logits.append(lg)
+        ref_pools.append(pp)
+    return ref_toks, ref_logits, ref_pools
+
+
+def test_ep_decode_matches_single():
+    cfg, params = _moe_setup()
+    ep = 2
+    pools, bt, kv_lens, tokens, lp, bl = _pools_and_batch(cfg, ep)
+    ref_toks, ref_logits, ref_pools = _per_shard_reference(
+        params, cfg, pools, bt, kv_lens, tokens, ep, lp, bl
+    )
+    mesh = make_mesh(ep=ep, devices=_cpu_devices(ep))
+    sp, spools = shard_ep(params, pools, mesh)
+    tok, logits, out_pools = ep_decode_step(
+        sp, tokens, spools, bt, kv_lens, cfg, mesh
+    )
+    assert jnp.array_equal(tok, jnp.concatenate(ref_toks))
+    assert max_err(logits, jnp.concatenate(ref_logits)) < 1e-4
+    for name in pools:
+        want = jnp.concatenate([rp[name] for rp in ref_pools], axis=1)
+        assert max_err(out_pools[name], want) < 1e-5, name
+
+
+def test_ep_dp_decode_matches_single():
+    cfg, params = _moe_setup()
+    dp, ep = 2, 2
+    n_shards = dp * ep
+    pools, bt, kv_lens, tokens, lp, bl = _pools_and_batch(cfg, n_shards)
+    ref_toks, ref_logits, ref_pools = _per_shard_reference(
+        params, cfg, pools, bt, kv_lens, tokens, n_shards, lp, bl
+    )
+    mesh = make_mesh(dp=dp, ep=ep, devices=_cpu_devices(n_shards))
+    sp, spools = shard_ep(params, pools, mesh)
+    tok, logits, out_pools = ep_decode_step(
+        sp, tokens, spools, bt, kv_lens, cfg, mesh
+    )
+    assert jnp.array_equal(tok, jnp.concatenate(ref_toks))
+    assert max_err(logits, jnp.concatenate(ref_logits)) < 1e-4
+    for name in pools:
+        want = jnp.concatenate([rp[name] for rp in ref_pools], axis=1)
+        assert max_err(out_pools[name], want) < 1e-5, name
+
+
+def test_ep_tp_decode_matches_single():
+    """ep x tp composition: tp Megatron-shards attention + expert ffn
+    dims on top of the expert-axis ep sharding."""
+    cfg, params = _moe_setup()
+    ep, tp = 2, 2
+    pools, bt, kv_lens, tokens, lp, bl = _pools_and_batch(cfg, ep)
+    ref_toks, ref_logits, ref_pools = _per_shard_reference(
+        params, cfg, pools, bt, kv_lens, tokens, ep, lp, bl
+    )
+    mesh = make_mesh(ep=ep, tp=tp, devices=_cpu_devices(ep * tp))
+    sp, spools = shard_ep(params, pools, mesh, tp=True)
+    tok, logits, out_pools = ep_decode_step(
+        sp, tokens, spools, bt, kv_lens, cfg, mesh
+    )
+    assert jnp.array_equal(tok, jnp.concatenate(ref_toks))
+    assert max_err(logits, jnp.concatenate(ref_logits)) < 1e-4
+    for name in pools:
+        want = jnp.concatenate([rp[name] for rp in ref_pools], axis=1)
+        assert max_err(out_pools[name], want) < 1e-5, name
+
+
+def test_ep_param_specs_shard_only_experts():
+    cfg, params = _moe_setup()
+    specs = ep_param_partition_specs(params)
+    flat = jax.tree_util.tree_leaves_with_path(specs)
+    saw_expert = 0
+    for path, spec in flat:
+        name = None
+        for p in path:
+            k = getattr(p, "key", getattr(p, "name", None))
+            if isinstance(k, str):
+                name = k
+        if name in ("w_gate", "w_up", "w_down"):
+            assert spec[1] == "ep", (name, spec)
+            saw_expert += 1
+        else:
+            assert "ep" not in tuple(spec), (name, spec)
+    assert saw_expert == 3

@@ -121,7 +121,7 @@ from xf_flash_attention_cutlass_tpu.models.llama import (  # noqa: E402
 )
 
 
-def _mlp(layer, x, cfg, axis_name=None):
+def _mlp(layer, x, cfg, axis_name=None, ep_axis=None):
     """Dense SwiGLU or sparse MoE MLP, keyed off the layer params: MoE
     layers carry a router (models/moe.py). The engine thus serves both
     model families through the same prefill/decode steps."""
@@ -131,7 +131,21 @@ def _mlp(layer, x, cfg, axis_name=None):
         # axis_name must flow through: shard_params shards expert ffn
         # weights over tp (parallel/tp.py), so the expert down-projection
         # is a partial sum that moe_mlp_block psums (models/moe.py).
-        out, _ = moe_mlp_block(layer, x, cfg, axis_name=axis_name)
+        # ep_axis (expert-parallel serving, parallel/ep_serve.py): expert
+        # weights are sharded on their expert axis and the GShard blocks
+        # cross devices via the all_to_all pair in parallel/ep.py.
+        ep_fn = None
+        if ep_axis is not None:
+            from xf_flash_attention_cutlass_tpu.parallel.ep import (
+                ep_expert_apply,
+            )
+
+            ep_fn = functools.partial(
+                ep_expert_apply,
+                ep_size=jax.lax.axis_size(ep_axis),
+                axis_name=ep_axis,
+            )
+        out, _ = moe_mlp_block(layer, x, cfg, axis_name=axis_name, ep_fn=ep_fn)
         return out
     return mlp_block(layer, x, cfg, axis_name=axis_name)
 
@@ -159,6 +173,7 @@ def decode_core(
     quant: Optional[str] = None,
     interpret: Optional[bool] = None,
     axis_name: Optional[str] = None,  # TP axis inside shard_map
+    ep_axis: Optional[str] = None,  # EP axis (parallel/ep_serve.py)
     temperature: Optional[jax.Array] = None,  # (b,) f32; None/<=0 -> greedy
     sample_key: Optional[jax.Array] = None,  # PRNGKey (replicated under TP)
     top_k: int = 0,
@@ -176,7 +191,7 @@ def decode_core(
     step (measured 15x slowdown)."""
     logits, pools = verify_core(
         params, tokens, pools, block_tables, kv_lens, cfg, quant, interpret,
-        axis_name=axis_name, sp_batch=sp_batch,
+        axis_name=axis_name, ep_axis=ep_axis, sp_batch=sp_batch,
     )
     logits = logits[:, 0]
     next_tokens = sample_tokens(
@@ -216,6 +231,8 @@ def verify_core(
     quant: Optional[str] = None,
     interpret: Optional[bool] = None,
     axis_name: Optional[str] = None,  # TP axis inside shard_map
+    ep_axis: Optional[str] = None,  # EP axis: MoE experts sharded, GShard
+    # blocks exchanged by all_to_all (parallel/ep_serve.py)
     sp_batch: bool = False,  # split each per-layer psum into
     # reduce-scatter + all-gather over the BATCH axis (decode's sequence-
     # parallel analog): the residual stream lives batch-sharded between
@@ -318,7 +335,7 @@ def verify_core(
             if axis_name is not None:
                 partial = jax.lax.psum(partial, axis_name)
             x = x + partial
-            x = _mlp(layer, x, cfg, axis_name=axis_name)
+            x = _mlp(layer, x, cfg, axis_name=axis_name, ep_axis=ep_axis)
         carry = (x, kp, vp, ks, vs) if quant else (x, kp, vp)
         return carry, None
 
