@@ -129,7 +129,37 @@ def bench_qmm(m=512, k=4096, n=4096):
     print(rep.line(f"int8_qmm {m}x{k}x{n}"))
 
 
-def _engine_decode_step_seconds(quant, n_layers, quant_weights):
+def bench_sampling(V=128256, B=64):
+    """sample_tokens alone at a REAL 8B vocab (the engine decode rows use
+    vocab 8192 to bound lm_head cost, which also hides sampling): the
+    full-vocab argsort+scatter of pure top-p vs the top-k-prefix nucleus
+    (round-4 verdict #6)."""
+    from xf_flash_attention_cutlass_tpu.serve.engine import sample_tokens
+
+    logits = jax.random.normal(jax.random.PRNGKey(0), (B, V), jnp.float32) * 3
+    temps = jnp.full((B,), 0.8, jnp.float32)
+    key = jax.random.PRNGKey(1)
+
+    def run(name, **kw):
+        def step(x):
+            toks = sample_tokens(x, **kw)
+            # real data dependency (a literal *0 gets constant-folded and
+            # the whole sampling chain dead-code-eliminated — measured
+            # 0us/step); 1e-12 cannot move any logit decision
+            return x + toks[:, None].astype(x.dtype) * 1e-12
+
+        t = timed_scan(step, logits)
+        print(f"sampling V={V} b={B} {name}: {t*1e6:.0f}us/step")
+
+    run("greedy")
+    run("temp", temperature=temps, key=key)
+    run("topk40", temperature=temps, key=key, top_k=40)
+    run("topk40+topp0.9", temperature=temps, key=key, top_k=40, top_p=0.9)
+    run("topp0.9 (full-vocab sort)", temperature=temps, key=key, top_p=0.9)
+
+
+def _engine_decode_step_seconds(quant, n_layers, quant_weights,
+                                sampling=False):
     from xf_flash_attention_cutlass_tpu.models.llama import (
         LlamaConfig, init_params, pack_params_for_decode, quantize_params,
     )
@@ -159,29 +189,40 @@ def _engine_decode_step_seconds(quant, n_layers, quant_weights):
     kv_lens = jnp.full((B,), 1500, jnp.int32)
     tokens = jnp.zeros((B, 1), jnp.int32)
 
+    temps = jnp.full((B,), 0.8, jnp.float32) if sampling else None
+    skey = jax.random.PRNGKey(7) if sampling else None
+
     def step(carry, params, bt, kv_lens):
         t, pools = carry
-        nt, _, pools = decode_core(params, t, pools, bt, kv_lens, cfg, quant)
+        nt, _, pools = decode_core(
+            params, t, pools, bt, kv_lens, cfg, quant,
+            temperature=temps, sample_key=skey,
+            top_k=40 if sampling else 0, top_p=0.9 if sampling else 0.0,
+        )
         return (nt[:, None].astype(jnp.int32), pools)
 
     return timed_scan(step, (tokens, pools), params, bt, kv_lens)
 
 
-def bench_engine_decode(quant=None, quant_weights=False):
+def bench_engine_decode(quant=None, quant_weights=False, sampling=False):
     """Full decode step (projections + paged attention) on an 8B-class
     layer geometry. The per-layer cost is the slope between a 2-layer and a
     4-layer slice, so fixed per-step costs (embed/lm_head/sampling/dispatch)
     are charged once, not 16x, in the 32-layer extrapolation.
-    quant_weights additionally stores projections int8 (fused-dequant qmm)."""
+    quant_weights additionally stores projections int8 (fused-dequant qmm);
+    sampling turns on temperature=0.8 top_k=40 top_p=0.9 (a FIXED cost —
+    it lands in the fixed term, compare against the greedy row)."""
     B = 64
-    t2 = _engine_decode_step_seconds(quant, 2, quant_weights)
-    t4 = _engine_decode_step_seconds(quant, 4, quant_weights)
+    t2 = _engine_decode_step_seconds(quant, 2, quant_weights, sampling)
+    t4 = _engine_decode_step_seconds(quant, 4, quant_weights, sampling)
     per_layer = (t4 - t2) / 2
     fixed = max(t2 - 2 * per_layer, 0.0)
     toks = B / (fixed + 32 * per_layer)
     wtag = "+w8" if quant_weights else ""
+    stag = " sampled(t0.8/k40/p0.9)" if sampling else ""
     print(
-        f"engine_decode kv={quant or 'bf16'}{wtag}: {per_layer*1e6:.0f}us/layer"
+        f"engine_decode kv={quant or 'bf16'}{wtag}{stag}: "
+        f"{per_layer*1e6:.0f}us/layer"
         f" + {fixed*1e6:.0f}us fixed -> {toks:.0f} tok/s extrapolated 8B"
         f" (64 reqs @1.5k ctx)"
     )
@@ -261,9 +302,16 @@ def _moe_decode_step_seconds(n_layers, quant_weights=False, quant=None):
     kv_lens = jnp.full((B,), 1500, jnp.int32)
     tokens = jnp.zeros((B, 1), jnp.int32)
 
+    temps = jnp.full((B,), 0.8, jnp.float32) if sampling else None
+    skey = jax.random.PRNGKey(7) if sampling else None
+
     def step(carry, params, bt, kv_lens):
         t, pools = carry
-        nt, _, pools = decode_core(params, t, pools, bt, kv_lens, cfg, quant)
+        nt, _, pools = decode_core(
+            params, t, pools, bt, kv_lens, cfg, quant,
+            temperature=temps, sample_key=skey,
+            top_k=40 if sampling else 0, top_p=0.9 if sampling else 0.0,
+        )
         return (nt[:, None].astype(jnp.int32), pools)
 
     return timed_scan(step, (tokens, pools), params, bt, kv_lens)
@@ -405,8 +453,10 @@ if __name__ == "__main__":
     bench_paged("fp8_e4m3", b=1, max_seq=65536, full_len=True)
     bench_paged("fp8_e4m3", b=1, max_seq=131072, full_len=True)
     bench_qmm()
+    bench_sampling()
     for kv in (None, "int8", "fp8_e4m3"):
         bench_engine_decode(kv)
+    bench_engine_decode(None, sampling=True)
     bench_engine_decode("int8", quant_weights=True)
     bench_moe_decode()
     bench_moe_decode(quant_weights=True)

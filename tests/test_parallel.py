@@ -194,15 +194,16 @@ def test_ulysses_attention_matches_dense(causal):
     assert max_err(lse, lse_ref) < 1e-4
 
 
-@pytest.mark.parametrize("h_k", [2, 8])
+@pytest.mark.parametrize("h_k", [1, 2, 3, 8])
 def test_ulysses_attention_gqa(h_k):
-    """h_k == 8: kv heads split via all_to_all; h_k == 2 < n: kv heads kept
-    whole, sequence all-gathered."""
+    """h_k == 8: kv heads split via all_to_all; h_k == 2 < n: grouped
+    repeat+all_to_all (round-4 #7); h_k == 1 (MQA) and h_k == 3 (not
+    dividing n): full-KV all-gather fallback."""
     from xf_flash_attention_cutlass_tpu.parallel.ulysses import ulysses_attention
 
     n = 4
     mesh = make_mesh(cp=n, devices=_cpu_devices(n))
-    b, h, s_local, d = 1, 8, 32, 64
+    b, h, s_local, d = 1, 12 if h_k == 3 else 8, 32, 64
     s = s_local * n
     q = jax.random.normal(jax.random.PRNGKey(1), (b, h, s, d), jnp.float32)
     k = jax.random.normal(jax.random.PRNGKey(2), (b, h_k, s, d), jnp.float32)
@@ -460,7 +461,9 @@ def test_ulysses_attention_grad_matches_dense(causal):
 
 
 def test_ulysses_attention_grad_gqa_fewkv():
-    """GQA with h_k < n devices: the all-gather + take fallback path."""
+    """GQA with 1 < h_k < n devices: the grouped repeat+all_to_all path
+    (round-4 #7) — grads flow through the repeat (transpose: segment sum)
+    and the all_to_all pair."""
     from xf_flash_attention_cutlass_tpu.parallel.ulysses import ulysses_attention
 
     n = 4

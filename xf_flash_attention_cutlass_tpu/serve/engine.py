@@ -83,6 +83,7 @@ def sample_tokens(
     key: Optional[jax.Array] = None,  # PRNGKey; required when any temp > 0
     top_k: int = 0,  # keep k highest-probability tokens (0 = off)
     top_p: float = 0.0,  # nucleus: keep smallest set with cum prob >= p
+    approx_top_k: bool = True,  # TPU-optimized approx_max_k (recall ~0.95)
 ) -> jax.Array:
     """Batched next-token selection: greedy / temperature / top-k / top-p.
 
@@ -90,16 +91,41 @@ def sample_tokens(
     (truncated, rescaled) categorical. Deterministic given `key` — under
     tensor parallelism pass the same key on every device so all shards pick
     the same token.
+
+    Any top_k > 0 samples from the top-k PREFIX directly (categorical
+    over (b, k), nucleus computed within the renormalized prefix — the
+    sequential-filter convention); the prefix comes from
+    `jax.lax.approx_max_k` by default (39us at V=128k b=64 on v5e vs
+    1.0ms exact `lax.top_k`, ~0.95 recall — standard for TPU serving;
+    `approx_top_k=False` restores exactness, and CPU lowers it exactly
+    either way). The round-3 full-vocab mask + scatter formulation
+    measured 2.2-9.2ms/step at V=128k — 1.4-6x the ENTIRE 32-layer 8B
+    attention budget (round-4 verdict #6, benchmarks/RESULTS_r4.md).
+    Pure top-p (top_k=0) still pays the full-vocab argsort (148ms at
+    128k!) — always set top_k alongside top_p at large vocabs.
     """
     greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     if temperature is None:
         return greedy
     t = jnp.asarray(temperature, jnp.float32)
     scaled = logits / jnp.maximum(t, 1e-6)[:, None]
-    masked = scaled
     if top_k and top_k > 0:
-        kth = jax.lax.top_k(scaled, top_k)[0][:, -1]  # (b,)
-        masked = jnp.where(scaled < kth[:, None], -jnp.inf, masked)
+        if approx_top_k:
+            vals, idx = jax.lax.approx_max_k(scaled, top_k)
+        else:
+            vals, idx = jax.lax.top_k(scaled, top_k)  # (b, k) sorted desc
+        if top_p and top_p > 0.0:
+            probs = jax.nn.softmax(vals, axis=-1)  # renormalized in top-k
+            cum = jnp.cumsum(probs, axis=-1)
+            # keep tokens whose cumulative prob up to AND INCLUDING them
+            # first reaches p (the top token always survives)
+            vals = jnp.where(cum - probs >= top_p, -jnp.inf, vals)
+        pos = jax.random.categorical(key, vals, axis=-1)
+        sampled = jnp.take_along_axis(
+            idx, pos[:, None], axis=-1
+        )[:, 0].astype(jnp.int32)
+        return jnp.where(t > 0.0, sampled, greedy)
+    masked = scaled
     if top_p and top_p > 0.0:
         order = jnp.argsort(-scaled, axis=-1)
         probs = jax.nn.softmax(jnp.take_along_axis(scaled, order, axis=-1), axis=-1)
