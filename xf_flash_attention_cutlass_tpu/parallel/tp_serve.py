@@ -84,6 +84,7 @@ def tp_decode_step(
     # tables (LOCAL page ids), kv_lens and the pool page axis shard over it
     # — each dp replica serves its own batch slice with zero cross-dp
     # traffic (tp_dp_decode_step layout)
+    page_size: Optional[int] = None,  # true page for padded small-page pools
 ):
     """One tensor-parallel decode step. Returns (next_tokens, logits, pools)
     with pools still sharded."""
@@ -104,6 +105,7 @@ def tp_decode_step(
         return decode_core(
             params, tokens, pools, block_tables, kv_lens,
             cfg=lcfg, quant=quant, interpret=interpret, axis_name=TP,
+            page_size=page_size,
             temperature=temperature, sample_key=sample_key,
             top_k=top_k, top_p=top_p, sp_batch=sp_batch,
         )
@@ -131,6 +133,7 @@ def tp_verify_step(
     interpret: Optional[bool] = None,
     dp_axis: bool = False,
     sp_batch: bool = False,  # RS+AG per layer (engine.verify_core sp_batch)
+    page_size: Optional[int] = None,
 ):
     """Tensor-parallel speculative verification: the L-token analog of
     tp_decode_step. Returns ((b, L, vocab) logits, pools) with pools still
@@ -148,6 +151,7 @@ def tp_verify_step(
             quant=quant,
             interpret=interpret,
             axis_name=TP,
+            page_size=page_size,
             sp_batch=sp_batch,
         ),
         mesh=mesh,
@@ -170,6 +174,7 @@ def tp_prefill_chunk_step(
     quant: Optional[str] = None,
     interpret: Optional[bool] = None,
     dp_axis: bool = False,  # lane rows shard over "dp" (LOCAL page ids)
+    page_size: Optional[int] = None,
 ):
     """Tensor-parallel batched chunked prefill (engine.prefill_chunk_core
     under shard_map). Returns (logits (P, vocab), pools) with pools still
@@ -186,6 +191,7 @@ def tp_prefill_chunk_step(
             quant=quant,
             interpret=interpret,
             axis_name=TP,
+            page_size=page_size,
         ),
         mesh=mesh,
         in_specs=(pspecs, bspec, bspec, bspec, kspecs, bspec),
@@ -203,7 +209,7 @@ tp_decode_step_jit = functools.partial(
     jax.jit,
     static_argnames=(
         "cfg", "mesh", "quant", "interpret", "top_k", "top_p", "sp_batch",
-        "dp_axis",
+        "dp_axis", "page_size",
     ),
     donate_argnames=("pools",),
 )(tp_decode_step)
@@ -211,13 +217,14 @@ tp_decode_step_jit = functools.partial(
 tp_verify_step_jit = functools.partial(
     jax.jit,
     static_argnames=("cfg", "mesh", "quant", "interpret", "dp_axis",
-                     "sp_batch"),
+                     "sp_batch", "page_size"),
     donate_argnames=("pools",),
 )(tp_verify_step)
 
 tp_prefill_chunk_step_jit = functools.partial(
     jax.jit,
-    static_argnames=("cfg", "mesh", "quant", "interpret", "dp_axis"),
+    static_argnames=("cfg", "mesh", "quant", "interpret", "dp_axis",
+                     "page_size"),
     donate_argnames=("pools",),
 )(tp_prefill_chunk_step)
 

@@ -200,6 +200,7 @@ def decode_core(
     interpret: Optional[bool] = None,
     axis_name: Optional[str] = None,  # TP axis inside shard_map
     ep_axis: Optional[str] = None,  # EP axis (parallel/ep_serve.py)
+    page_size: Optional[int] = None,  # true page for padded pools
     temperature: Optional[jax.Array] = None,  # (b,) f32; None/<=0 -> greedy
     sample_key: Optional[jax.Array] = None,  # PRNGKey (replicated under TP)
     top_k: int = 0,
@@ -217,7 +218,8 @@ def decode_core(
     step (measured 15x slowdown)."""
     logits, pools = verify_core(
         params, tokens, pools, block_tables, kv_lens, cfg, quant, interpret,
-        axis_name=axis_name, ep_axis=ep_axis, sp_batch=sp_batch,
+        axis_name=axis_name, ep_axis=ep_axis, page_size=page_size,
+        sp_batch=sp_batch,
     )
     logits = logits[:, 0]
     next_tokens = sample_tokens(
@@ -228,7 +230,8 @@ def decode_core(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "quant", "interpret", "top_k", "top_p"),
+    static_argnames=("cfg", "quant", "interpret", "top_k", "top_p",
+                     "page_size"),
     donate_argnames=("pools",),  # in-place KV scatter: without donation the
     # whole pool is copied every step (measured 15x decode slowdown)
 )
@@ -239,9 +242,11 @@ def decode_step(
     temperature: Optional[jax.Array] = None,
     sample_key: Optional[jax.Array] = None,
     top_k: int = 0, top_p: float = 0.0,
+    page_size: Optional[int] = None,
 ):
     return decode_core(
         params, tokens, pools, block_tables, kv_lens, cfg, quant, interpret,
+        page_size=page_size,
         temperature=temperature, sample_key=sample_key,
         top_k=top_k, top_p=top_p,
     )
@@ -259,6 +264,8 @@ def verify_core(
     axis_name: Optional[str] = None,  # TP axis inside shard_map
     ep_axis: Optional[str] = None,  # EP axis: MoE experts sharded, GShard
     # blocks exchanged by all_to_all (parallel/ep_serve.py)
+    page_size: Optional[int] = None,  # true tokens/page when pools are
+    # stored PADDED (quantized small pages, ops/paged.py padded mode)
     sp_batch: bool = False,  # split each per-layer psum into
     # reduce-scatter + all-gather over the BATCH axis (decode's sequence-
     # parallel analog): the residual stream lives batch-sharded between
@@ -325,20 +332,22 @@ def verify_core(
             kp, vp, ks, vs = paged_append(
                 kp, vp, k_new, v_new, block_tables, append_pos,
                 k_scales=ks, v_scales=vs, layer_idx=l, interpret=interpret,
-                mode="decode",
+                page_size=page_size, mode="decode",
             )
             o, _ = paged_attention(
                 q, kp, vp, block_tables, kv_lens, causal=True,
                 k_scales=ks, v_scales=vs, layer_idx=l, interpret=interpret,
+                page_size=page_size,
             )
         else:
             kp, vp = paged_append(
                 kp, vp, k_new, v_new, block_tables, append_pos,
-                layer_idx=l, interpret=interpret, mode="decode",
+                layer_idx=l, interpret=interpret, page_size=page_size,
+                mode="decode",
             )
             o, _ = paged_attention(
                 q, kp, vp, block_tables, kv_lens, causal=True,
-                layer_idx=l, interpret=interpret,
+                layer_idx=l, interpret=interpret, page_size=page_size,
             )
         o = o.reshape(b, L, cfg.n_heads * cfg.head_dim)
         partial = _proj(o, layer["wo"])
@@ -391,16 +400,18 @@ def verify_core(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "quant", "interpret"),
+    static_argnames=("cfg", "quant", "interpret", "page_size"),
     donate_argnames=("pools",),
 )
 def verify_step(
     params, tokens, pools, block_tables, kv_lens,
     cfg: LlamaConfig, quant: Optional[str] = None,
     interpret: Optional[bool] = None,
+    page_size: Optional[int] = None,
 ):
     return verify_core(
-        params, tokens, pools, block_tables, kv_lens, cfg, quant, interpret
+        params, tokens, pools, block_tables, kv_lens, cfg, quant, interpret,
+        page_size=page_size,
     )
 
 
@@ -430,6 +441,7 @@ def prefill_core(
     cfg: LlamaConfig,
     quant: Optional[str] = None,
     interpret: Optional[bool] = None,
+    page_size: Optional[int] = None,
 ):
     """Prefill one request: dense causal attention + paged KV write.
     Returns (first_token, logits_last, pools)."""
@@ -460,11 +472,12 @@ def prefill_core(
             kp, vp, ks, vs = paged_append(
                 kp, vp, k_new, v_new, bt_row, zero,
                 k_scales=ks, v_scales=vs, layer_idx=l, interpret=interpret,
+                page_size=page_size,
             )
         else:
             kp, vp = paged_append(
                 kp, vp, k_new, v_new, bt_row, zero,
-                layer_idx=l, interpret=interpret,
+                layer_idx=l, interpret=interpret, page_size=page_size,
             )
         x = x + _proj(o, layer["wo"])
         x = _mlp(layer, x, cfg)
@@ -493,16 +506,18 @@ def prefill_core(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "quant", "interpret"),
+    static_argnames=("cfg", "quant", "interpret", "page_size"),
     donate_argnames=("pools",),
 )
 def prefill_step(
     params, tokens, true_len, pools, bt_row,
     cfg: LlamaConfig, quant: Optional[str] = None,
     interpret: Optional[bool] = None,
+    page_size: Optional[int] = None,
 ):
     return prefill_core(
-        params, tokens, true_len, pools, bt_row, cfg, quant, interpret
+        params, tokens, true_len, pools, bt_row, cfg, quant, interpret,
+        page_size=page_size,
     )
 
 
@@ -517,6 +532,7 @@ def prefill_chunk_core(
     quant: Optional[str] = None,
     interpret: Optional[bool] = None,
     axis_name: Optional[str] = None,  # TP axis inside shard_map
+    page_size: Optional[int] = None,
 ):
     """One step of incremental prefill for P simultaneous prompts: append
     each row's chunk KV into its pages, then paged attention of the chunk
@@ -554,19 +570,21 @@ def prefill_chunk_core(
             kp, vp, ks, vs = paged_append(
                 kp, vp, k_new, v_new, bt, append_pos,
                 k_scales=ks, v_scales=vs, layer_idx=l, interpret=interpret,
+                page_size=page_size,
             )
             o, _ = paged_attention(
                 q, kp, vp, bt, kv_lens, causal=True,
                 k_scales=ks, v_scales=vs, layer_idx=l, interpret=interpret,
+                page_size=page_size,
             )
         else:
             kp, vp = paged_append(
                 kp, vp, k_new, v_new, bt, append_pos,
-                layer_idx=l, interpret=interpret,
+                layer_idx=l, interpret=interpret, page_size=page_size,
             )
             o, _ = paged_attention(
                 q, kp, vp, bt, kv_lens, causal=True,
-                layer_idx=l, interpret=interpret,
+                layer_idx=l, interpret=interpret, page_size=page_size,
             )
         o = o.reshape(P, C, cfg.n_heads * cfg.head_dim)
         partial = _proj(o, layer["wo"])
@@ -601,16 +619,18 @@ def prefill_chunk_core(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "quant", "interpret"),
+    static_argnames=("cfg", "quant", "interpret", "page_size"),
     donate_argnames=("pools",),
 )
 def prefill_chunk_step(
     params, tokens, n_prior, n_valid, pools, bt,
     cfg: LlamaConfig, quant: Optional[str] = None,
     interpret: Optional[bool] = None,
+    page_size: Optional[int] = None,
 ):
     return prefill_chunk_core(
-        params, tokens, n_prior, n_valid, pools, bt, cfg, quant, interpret
+        params, tokens, n_prior, n_valid, pools, bt, cfg, quant, interpret,
+        page_size=page_size,
     )
 
 
@@ -675,23 +695,36 @@ class DecodeEngine:
         )
         self.trash_page = num_pages_local
         if ecfg.kv_quant:
+            # stored layout (ops/paged.py padded-column mode): value rows
+            # padded to the int8/fp8 DMA sublane tile (32), scale-plane
+            # lanes to 128, so small pages (the reference's block-16
+            # geometry) run the Pallas decode paths instead of per-call
+            # pool copies. page_size flows to every step as the TRUE
+            # page; for page % 128 == 0 both pads are no-ops.
+            dma_rows = -(-ecfg.page_size // 32) * 32
+            scale_lanes = -(-dma_rows // 128) * 128
+            vshape = shape[:-2] + (dma_rows, cfg.head_dim)
+            sshape = shape[:-2] + (scale_lanes,)
             if ecfg.page_size % 128:
-                # supported for reference parity (block-16 geometry) but
-                # every step pays pool-copy fallbacks: paged_attention
-                # pads the tight pools per call and paged_append takes
-                # the XLA scatter. Production quantized serving wants
+                # Pallas decode append + attention run on the padded
+                # layout; PREFILL appends still scatter-fallback (whole-
+                # window writes cannot span padded pages) — a pool copy
+                # per prefill chunk. Production quantized serving wants
                 # page_size a multiple of 128 (256 measured best).
                 logger.warning(
-                    "quantized KV with page_size=%d (< multiple of 128) "
-                    "runs on pool-copy fallback paths; use page_size=256 "
-                    "for production throughput", ecfg.page_size,
+                    "quantized KV with page_size=%d (not a multiple of "
+                    "128) stores padded pools (%d rows, %d scale lanes); "
+                    "decode is Pallas-pathed but prefill appends pay a "
+                    "scatter pool-copy — use page_size=256 for "
+                    "production throughput",
+                    ecfg.page_size, dma_rows, scale_lanes,
                 )
             vdt = jnp.int8 if ecfg.kv_quant == "int8" else jnp.float8_e4m3fn
             self.pools = dict(
-                k=jnp.zeros(shape, vdt),
-                v=jnp.zeros(shape, vdt),
-                k_s=jnp.zeros(shape[:-1], jnp.float32),
-                v_s=jnp.zeros(shape[:-1], jnp.float32),
+                k=jnp.zeros(vshape, vdt),
+                v=jnp.zeros(vshape, vdt),
+                k_s=jnp.zeros(sshape, jnp.float32),
+                v_s=jnp.zeros(sshape, jnp.float32),
             )
         else:
             self.pools = dict(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
@@ -871,10 +904,12 @@ class DecodeEngine:
                 self._decode_params, tokens, n_prior, n_valid, self.pools,
                 bt, cfg=self.cfg, mesh=self.mesh, quant=self.ecfg.kv_quant,
                 interpret=self.interpret, dp_axis=self.dp > 1,
+                page_size=self.ecfg.page_size,
             )
         return prefill_chunk_step(
             self._decode_params, tokens, n_prior, n_valid, self.pools, bt,
             self.cfg, self.ecfg.kv_quant, self.interpret,
+            page_size=self.ecfg.page_size,
         )
 
     def _run_decode(self, tokens, bt, kv_lens, sampling):
@@ -907,10 +942,12 @@ class DecodeEngine:
                 interpret=self.interpret, temperature=temps, sample_key=key,
                 top_k=self.ecfg.top_k, top_p=self.ecfg.top_p,
                 dp_axis=self.dp > 1, sp_batch=True,
+                page_size=self.ecfg.page_size,
             )
         return decode_step(
             self._decode_params, tokens, self.pools, bt, kv_lens,
-            self.cfg, self.ecfg.kv_quant, self.interpret, **sampling,
+            self.cfg, self.ecfg.kv_quant, self.interpret,
+            page_size=self.ecfg.page_size, **sampling,
         )
 
     def _run_verify(self, tokens, bt, kv_lens):
@@ -923,11 +960,12 @@ class DecodeEngine:
                 self._decode_params, tokens, self.pools, bt, kv_lens,
                 cfg=self.cfg, mesh=self.mesh, quant=self.ecfg.kv_quant,
                 interpret=self.interpret, dp_axis=self.dp > 1,
-                sp_batch=True,
+                sp_batch=True, page_size=self.ecfg.page_size,
             )
         return verify_step(
             self._decode_params, tokens, self.pools, bt, kv_lens,
             self.cfg, self.ecfg.kv_quant, self.interpret,
+            page_size=self.ecfg.page_size,
         )
 
     def _bucket(self, n: int) -> int:
@@ -1103,6 +1141,7 @@ class DecodeEngine:
             self.cfg,
             self.ecfg.kv_quant,
             self.interpret,
+            page_size=self.ecfg.page_size,
         )
         if temp > 0.0:
             key = jax.random.fold_in(self._sample_base, (rid << 8) ^ 0xA5)
