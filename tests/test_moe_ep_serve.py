@@ -151,3 +151,37 @@ def test_ep_param_specs_shard_only_experts():
         else:
             assert "ep" not in tuple(spec), (name, spec)
     assert saw_expert == 3
+
+
+def test_ep_decode_quantized_kv_matches_single():
+    """ep serving with int8 KV pools: scale planes shard like the value
+    pools (pages over ep)."""
+    from xf_flash_attention_cutlass_tpu.quant import quantize_kv
+
+    cfg, params = _moe_setup()
+    ep = 2
+    pools, bt, kv_lens, tokens, lp, bl = _pools_and_batch(cfg, ep)
+    kq, ks = quantize_kv(pools["k"], "int8")
+    vq, vs = quantize_kv(pools["v"], "int8")
+    pools = dict(k=kq, v=vq, k_s=ks[..., 0], v_s=vs[..., 0])
+    ref_toks, ref_logits, ref_pools = [], [], []
+    for r in range(ep):
+        pr = {k: v[:, r * lp:(r + 1) * lp].copy() for k, v in pools.items()}
+        t, lg, pp = decode_step(
+            params, tokens[r * bl:(r + 1) * bl], pr,
+            bt[r * bl:(r + 1) * bl], kv_lens[r * bl:(r + 1) * bl],
+            cfg, "int8",
+        )
+        ref_toks.append(t)
+        ref_logits.append(lg)
+        ref_pools.append(pp)
+    mesh = make_mesh(ep=ep, devices=_cpu_devices(ep))
+    sp, spools = shard_ep(params, pools, mesh)
+    tok, logits, out_pools = ep_decode_step(
+        sp, tokens, spools, bt, kv_lens, cfg, mesh, quant="int8"
+    )
+    assert jnp.array_equal(tok, jnp.concatenate(ref_toks))
+    assert max_err(logits, jnp.concatenate(ref_logits)) < 1e-4
+    for name in pools:
+        want = jnp.concatenate([rp[name] for rp in ref_pools], axis=1)
+        assert max_err(out_pools[name], want) < 1e-5, name
