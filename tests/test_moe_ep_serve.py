@@ -185,3 +185,54 @@ def test_ep_decode_quantized_kv_matches_single():
     for name in pools:
         want = jnp.concatenate([rp[name] for rp in ref_pools], axis=1)
         assert max_err(out_pools[name], want) < 1e-5, name
+
+
+def test_ep_prefill_chunk_matches_single():
+    """EP chunked prefill == per-shard single-device prefill_chunk_step:
+    makes ep serving end-to-end (prefill + decode)."""
+    from xf_flash_attention_cutlass_tpu.parallel.ep_serve import (
+        ep_prefill_chunk_step,
+    )
+    from xf_flash_attention_cutlass_tpu.serve.engine import (
+        prefill_chunk_step,
+    )
+
+    cfg, params = _moe_setup()
+    ep = 2
+    lp = 8  # local pages per shard
+    L = cfg.n_layers
+    num_pages = ep * lp
+    pools = dict(
+        k=jnp.zeros((L, num_pages, cfg.n_kv_heads, 16, cfg.head_dim),
+                    jnp.float32),
+        v=jnp.zeros((L, num_pages, cfg.n_kv_heads, 16, cfg.head_dim),
+                    jnp.float32),
+    )
+    P_, C = 2, 32  # one prefill lane per shard
+    tokens = jnp.asarray(
+        [[(7 * i + j) % cfg.vocab_size for j in range(C)] for i in range(P_)],
+        jnp.int32,
+    )
+    n_prior = jnp.zeros((P_,), jnp.int32)
+    n_valid = jnp.asarray([C, C - 5], jnp.int32)
+    bt = jnp.asarray([[0, 1, 2, 3], [4, 5, 6, 7]], jnp.int32)
+
+    ref_logits, ref_pools = [], []
+    for r in range(ep):
+        pr = {k: v[:, r * lp:(r + 1) * lp].copy() for k, v in pools.items()}
+        lg, pp = prefill_chunk_step(
+            params, tokens[r:r + 1], n_prior[r:r + 1], n_valid[r:r + 1],
+            pr, bt[r:r + 1], cfg,
+        )
+        ref_logits.append(lg)
+        ref_pools.append(pp)
+
+    mesh = make_mesh(ep=ep, devices=_cpu_devices(ep))
+    sp, spools = shard_ep(params, pools, mesh)
+    logits, out_pools = ep_prefill_chunk_step(
+        sp, tokens, n_prior, n_valid, spools, bt, cfg, mesh
+    )
+    assert max_err(logits, jnp.concatenate(ref_logits)) < 1e-4
+    for name in pools:
+        want = jnp.concatenate([rp[name] for rp in ref_pools], axis=1)
+        assert max_err(out_pools[name], want) < 1e-5, name

@@ -151,3 +151,50 @@ def ep_decode_step(
     )
     return fn(params, tokens, pools, block_tables, kv_lens, temperature,
               sample_key)
+
+
+def ep_prefill_chunk_step(
+    params,
+    tokens,  # (P, C) int32 — prefill lanes sharded over (dp?, ep)
+    n_prior,  # (P,) int32
+    n_valid,  # (P,) int32
+    pools,
+    bt,  # (P, max_pages) int32, LOCAL page ids per shard
+    cfg: LlamaConfig,
+    mesh: Mesh,
+    quant: Optional[str] = None,
+    interpret: Optional[bool] = None,
+):
+    """Expert-parallel batched chunked prefill — the prefill leg that
+    makes ep serving end-to-end capable (engine.prefill_chunk_core with
+    the ep_axis hook; lanes shard like the decode batch). Returns
+    (logits (P_local-stacked, vocab), pools), both still sharded.
+
+    NB the per-shard GShard capacity is computed from the LOCAL lane
+    count, so P must divide the batch axes (same rule as decode's b)."""
+    from xf_flash_attention_cutlass_tpu.serve.engine import (
+        prefill_chunk_core,
+    )
+
+    tp_size = dict(mesh.shape).get(TP, 1)
+    batch_axes = tuple(a for a in (DP, EP) if a in mesh.shape)
+    bspec = P(batch_axes if len(batch_axes) > 1 else batch_axes[0])
+    pspecs = ep_param_partition_specs(params, tp=tp_size > 1)
+    kspecs = ep_pool_specs(pools, bspec[0], tp=tp_size > 1)
+    lcfg = _local_cfg(cfg, tp_size) if tp_size > 1 else cfg
+
+    def local(params, tokens, n_prior, n_valid, pools, bt):
+        return prefill_chunk_core(
+            params, tokens, n_prior, n_valid, pools, bt,
+            cfg=lcfg, quant=quant, interpret=interpret,
+            axis_name=TP if tp_size > 1 else None, ep_axis=EP,
+        )
+
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(pspecs, bspec, bspec, bspec, kspecs, bspec),
+        out_specs=(bspec, kspecs),
+        check_vma=False,
+    )
+    return fn(params, tokens, n_prior, n_valid, pools, bt)

@@ -532,6 +532,7 @@ def prefill_chunk_core(
     quant: Optional[str] = None,
     interpret: Optional[bool] = None,
     axis_name: Optional[str] = None,  # TP axis inside shard_map
+    ep_axis: Optional[str] = None,  # EP axis (parallel/ep_serve.py)
     page_size: Optional[int] = None,
 ):
     """One step of incremental prefill for P simultaneous prompts: append
@@ -591,7 +592,7 @@ def prefill_chunk_core(
         if axis_name is not None:
             partial = jax.lax.psum(partial, axis_name)
         x = x + partial
-        x = _mlp(layer, x, cfg, axis_name=axis_name)
+        x = _mlp(layer, x, cfg, axis_name=axis_name, ep_axis=ep_axis)
         carry = (x, kp, vp, ks, vs) if quant else (x, kp, vp)
         return carry, None
 
