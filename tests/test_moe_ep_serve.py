@@ -187,6 +187,50 @@ def test_ep_decode_quantized_kv_matches_single():
         assert max_err(out_pools[name], want) < 1e-5, name
 
 
+def test_ep_decode_full_quant_matches_single():
+    """Full-quant EP serving: INT8 weight-only experts (quantize_moe_params
+    tuples shard their expert axis over "ep" — both the int8 stack and the
+    scale plane carry axis 1 = E) on top of int8 KV pools. Token-identical
+    to the per-shard single-device full-quant decode — the deployment
+    configuration the single-chip bench row measures (1.96x,
+    benchmarks/RESULTS_r3.md), now under the ep axis."""
+    from xf_flash_attention_cutlass_tpu.models.moe import quantize_moe_params
+    from xf_flash_attention_cutlass_tpu.quant import quantize_kv
+
+    cfg, params = _moe_setup()
+    params = quantize_moe_params(params)
+    ep = 2
+    pools, bt, kv_lens, tokens, lp, bl = _pools_and_batch(cfg, ep)
+    kq, ks = quantize_kv(pools["k"], "int8")
+    vq, vs = quantize_kv(pools["v"], "int8")
+    pools = dict(k=kq, v=vq, k_s=ks[..., 0], v_s=vs[..., 0])
+    ref_toks, ref_logits, ref_pools = [], [], []
+    for r in range(ep):
+        pr = {k: v[:, r * lp:(r + 1) * lp].copy() for k, v in pools.items()}
+        t, lg, pp = decode_step(
+            params, tokens[r * bl:(r + 1) * bl], pr,
+            bt[r * bl:(r + 1) * bl], kv_lens[r * bl:(r + 1) * bl],
+            cfg, "int8",
+        )
+        ref_toks.append(t)
+        ref_logits.append(lg)
+        ref_pools.append(pp)
+    mesh = make_mesh(ep=ep, devices=_cpu_devices(ep))
+    sp, spools = shard_ep(params, pools, mesh)
+    # expert int8 stacks and scales must actually be ep-sharded
+    specs = ep_param_partition_specs(params)
+    wg_specs = jax.tree_util.tree_leaves(specs["layers"]["w_gate"])
+    assert all(s[1] == "ep" for s in wg_specs), wg_specs
+    tok, logits, out_pools = ep_decode_step(
+        sp, tokens, spools, bt, kv_lens, cfg, mesh, quant="int8"
+    )
+    assert jnp.array_equal(tok, jnp.concatenate(ref_toks))
+    assert max_err(logits, jnp.concatenate(ref_logits)) < 1e-4
+    for name in pools:
+        want = jnp.concatenate([rp[name] for rp in ref_pools], axis=1)
+        assert max_err(out_pools[name], want) < 1e-5, name
+
+
 def test_ep_prefill_chunk_matches_single():
     """EP chunked prefill == per-shard single-device prefill_chunk_step:
     makes ep serving end-to-end (prefill + decode)."""
