@@ -189,3 +189,47 @@ def test_checkpoint_resume_tp_mesh(tmp_path):
     eng2 = load_engine(path, params=params, dtype=jnp.float32, mesh=mesh)
     out = eng2.run()
     assert list(out[0]) == list(ref[0])
+
+
+def test_checkpoint_resume_ep_mesh(tmp_path):
+    """Save from an expert-parallel (ep2) MoE engine mid-stream, restore
+    into a fresh ep engine: pools re-shard over the ep replica axis on
+    load (serve/checkpoint.py ep_axis) and streams stay token-identical."""
+    from xf_flash_attention_cutlass_tpu.models.moe import (
+        MoEConfig, init_moe_params,
+    )
+    from xf_flash_attention_cutlass_tpu.parallel import make_mesh
+
+    devs = jax.devices("cpu")
+    if len(devs) < 2:
+        pytest.skip("need 2 cpu devices")
+    mesh = make_mesh(ep=2, devices=devs[:2])
+    cfg = MoEConfig(
+        vocab_size=64, dim=64, n_layers=2, n_heads=4, n_kv_heads=2,
+        ffn_dim=96, max_seq_len=256, n_experts=4, top_k=2,
+        capacity_factor=8.0,
+    )
+    params = init_moe_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    ecfg = EngineConfig(
+        max_batch=2, page_size=16, num_pages=32, max_seq=128,
+        prefill_chunk=32, prefill_lanes=2,
+    )
+    prompts = {0: [(3 * i + 5) % cfg.vocab_size for i in range(19)],
+               1: [7, 2, 9]}
+
+    ref_eng = DecodeEngine(params, cfg, ecfg, dtype=jnp.float32, mesh=mesh)
+    for rid, p in prompts.items():
+        ref_eng.add_request(rid, p, 6)
+    ref = ref_eng.run()
+
+    eng = DecodeEngine(params, cfg, ecfg, dtype=jnp.float32, mesh=mesh)
+    for rid, p in prompts.items():
+        eng.add_request(rid, p, 6)
+    for _ in range(4):
+        eng.step()
+    path = str(tmp_path / "ckpt_ep.npz")
+    save_engine(eng, path)
+    eng2 = load_engine(path, params=params, dtype=jnp.float32, mesh=mesh)
+    out = eng2.run()
+    for rid in prompts:
+        assert list(out[rid]) == list(ref[rid]), rid

@@ -280,3 +280,84 @@ def test_ep_prefill_chunk_matches_single():
     for name in pools:
         want = jnp.concatenate([rp[name] for rp in ref_pools], axis=1)
         assert max_err(out_pools[name], want) < 1e-5, name
+
+
+# ---- engine-level EP: DecodeEngine(mesh with ep axis) --------------------
+
+
+def _engine_prompts(cfg):
+    return {
+        0: [(7 * i + 3) % cfg.vocab_size for i in range(21)],
+        1: [5, 9, 2],
+        2: [11, 3, 8, 2, 60, 17],
+        3: [1, 2, 3, 4, 5, 6, 7, 8, 9],
+    }
+
+
+def _run_engine(params, cfg, ecfg, mesh_arg, prompts):
+    from xf_flash_attention_cutlass_tpu.serve import DecodeEngine
+
+    eng = DecodeEngine(params, cfg, ecfg, dtype=jnp.float32, mesh=mesh_arg)
+    for rid, p in prompts.items():
+        eng.add_request(rid, p, 5)
+    return eng.run()
+
+
+def test_ep_engine_moe_token_identical():
+    """DecodeEngine(mesh=ep2): the engine treats each ep shard as a dp
+    replica for batch slots / page pools / allocators while sharding ONLY
+    the expert leaves over "ep" (engine.__init__ n_replicas). Token
+    streams must match the single-device MoE engine exactly."""
+    from xf_flash_attention_cutlass_tpu.serve import EngineConfig
+
+    cfg, params = _moe_setup()
+    mesh = make_mesh(ep=2, devices=_cpu_devices(2))
+    ecfg = EngineConfig(
+        max_batch=4, page_size=16, num_pages=64, max_seq=256,
+        prefill_chunk=32, prefill_lanes=2,
+    )
+    prompts = _engine_prompts(cfg)
+    ref = _run_engine(params, cfg, ecfg, None, prompts)
+    out = _run_engine(params, cfg, ecfg, mesh, prompts)
+    for rid in prompts:
+        assert list(out[rid]) == list(ref[rid]), rid
+
+
+def test_ep_tp_engine_moe_token_identical():
+    """ep2 x tp2 engine: expert axis over ep AND Megatron ffn/head shards
+    over tp, composed inside one DecodeEngine."""
+    from xf_flash_attention_cutlass_tpu.serve import EngineConfig
+
+    cfg, params = _moe_setup()
+    mesh = make_mesh(ep=2, tp=2, devices=_cpu_devices(4))
+    ecfg = EngineConfig(
+        max_batch=4, page_size=16, num_pages=64, max_seq=256,
+        prefill_chunk=32, prefill_lanes=2,
+    )
+    prompts = _engine_prompts(cfg)
+    ref = _run_engine(params, cfg, ecfg, None, prompts)
+    out = _run_engine(params, cfg, ecfg, mesh, prompts)
+    for rid in prompts:
+        assert list(out[rid]) == list(ref[rid]), rid
+
+
+def test_ep_engine_rejects_dense_params():
+    """ep>1 with a dense (non-MoE) model must fail fast at engine init."""
+    from xf_flash_attention_cutlass_tpu.models.llama import (
+        LlamaConfig, init_params,
+    )
+    from xf_flash_attention_cutlass_tpu.serve import DecodeEngine, EngineConfig
+
+    cfg = LlamaConfig(
+        vocab_size=64, dim=64, n_layers=2, n_heads=4, n_kv_heads=2,
+        ffn_dim=96, max_seq_len=256,
+    )
+    params = init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    mesh = make_mesh(ep=2, devices=_cpu_devices(2))
+    with pytest.raises(ValueError, match="not a MoE"):
+        DecodeEngine(
+            params, cfg,
+            EngineConfig(max_batch=2, page_size=16, num_pages=32,
+                         max_seq=64, prefill_chunk=32),
+            dtype=jnp.float32, mesh=mesh,
+        )

@@ -34,6 +34,7 @@ from xf_flash_attention_cutlass_tpu.serve.engine import (
 
 
 DP = "dp"
+EP = "ep"
 
 
 def pool_partition_specs(pools: dict) -> dict:
@@ -44,18 +45,42 @@ def pool_partition_specs(pools: dict) -> dict:
     }
 
 
-def _kspecs(pools: dict, dp_axis: bool) -> dict:
-    """Pool specs: kv heads over tp, and (dp mode) pages over dp."""
-    if not dp_axis:
-        return pool_partition_specs(pools)
+def _batch_axes(dp_axis: bool, ep_axis: bool):
+    """The replica axes the batch (and pool pages) shard over. An ep shard
+    IS a dp replica for every non-expert tensor (parallel/ep_serve.py):
+    it owns its own batch rows, page-pool slice and block tables; only the
+    PARAM specs differ (experts sharded over ep instead of replicated)."""
+    axes = tuple(a for a, on in ((DP, dp_axis), (EP, ep_axis)) if on)
+    if not axes:
+        return None
+    return axes if len(axes) > 1 else axes[0]
+
+
+def _kspecs(pools: dict, dp_axis: bool, ep_axis: bool = False) -> dict:
+    """Pool specs: kv heads over tp, pages over the replica axes."""
+    page_axes = _batch_axes(dp_axis, ep_axis)
     return {
-        name: P(None, DP, TP, *([None] * (arr.ndim - 3)))
+        name: P(None, page_axes, TP, *([None] * (arr.ndim - 3)))
         for name, arr in pools.items()
     }
 
 
-def shard_pools(pools: dict, mesh: Mesh, dp_axis: bool = False) -> dict:
-    specs = _kspecs(pools, dp_axis)
+def _pspecs(params, ep_axis: bool):
+    """Param specs: tp's Megatron layout, plus (ep mode) expert leaves
+    sharded on their expert axis over "ep" (parallel/ep_serve.py)."""
+    if ep_axis:
+        from xf_flash_attention_cutlass_tpu.parallel.ep_serve import (
+            ep_param_partition_specs,
+        )
+
+        return ep_param_partition_specs(params, tp=True)
+    return param_partition_specs(params)
+
+
+def shard_pools(
+    pools: dict, mesh: Mesh, dp_axis: bool = False, ep_axis: bool = False
+) -> dict:
+    specs = _kspecs(pools, dp_axis, ep_axis)
     return {
         k: jax.device_put(v, NamedSharding(mesh, specs[k]))
         for k, v in pools.items()
@@ -84,13 +109,17 @@ def tp_decode_step(
     # tables (LOCAL page ids), kv_lens and the pool page axis shard over it
     # — each dp replica serves its own batch slice with zero cross-dp
     # traffic (tp_dp_decode_step layout)
+    ep_axis: bool = False,  # mesh also has an "ep" axis (>1): MoE expert
+    # weights shard their expert axis over it while batch/pools shard
+    # ep like another dp replica axis; GShard blocks cross devices via
+    # the all_to_all pair (parallel/ep_serve.py, engine ep mode)
     page_size: Optional[int] = None,  # true page for padded small-page pools
 ):
     """One tensor-parallel decode step. Returns (next_tokens, logits, pools)
     with pools still sharded."""
-    pspecs = param_partition_specs(params)
-    kspecs = _kspecs(pools, dp_axis)
-    bspec = P(DP) if dp_axis else P()
+    pspecs = _pspecs(params, ep_axis)
+    kspecs = _kspecs(pools, dp_axis, ep_axis)
+    bspec = P(_batch_axes(dp_axis, ep_axis))
     tp_size = mesh.shape[TP]
     lcfg = _local_cfg(cfg, tp_size)
     # shard_map specs must match the arg pytree: normalize Nones to
@@ -105,6 +134,7 @@ def tp_decode_step(
         return decode_core(
             params, tokens, pools, block_tables, kv_lens,
             cfg=lcfg, quant=quant, interpret=interpret, axis_name=TP,
+            ep_axis=EP if ep_axis else None,
             page_size=page_size,
             temperature=temperature, sample_key=sample_key,
             top_k=top_k, top_p=top_p, sp_batch=sp_batch,
@@ -132,15 +162,16 @@ def tp_verify_step(
     quant: Optional[str] = None,
     interpret: Optional[bool] = None,
     dp_axis: bool = False,
+    ep_axis: bool = False,  # "ep" replica axis + expert-sharded params
     sp_batch: bool = False,  # RS+AG per layer (engine.verify_core sp_batch)
     page_size: Optional[int] = None,
 ):
     """Tensor-parallel speculative verification: the L-token analog of
     tp_decode_step. Returns ((b, L, vocab) logits, pools) with pools still
     sharded; the engine's acceptance rule runs on the gathered logits."""
-    pspecs = param_partition_specs(params)
-    kspecs = _kspecs(pools, dp_axis)
-    bspec = P(DP) if dp_axis else P()
+    pspecs = _pspecs(params, ep_axis)
+    kspecs = _kspecs(pools, dp_axis, ep_axis)
+    bspec = P(_batch_axes(dp_axis, ep_axis))
     tp_size = mesh.shape[TP]
     lcfg = _local_cfg(cfg, tp_size)
 
@@ -151,6 +182,7 @@ def tp_verify_step(
             quant=quant,
             interpret=interpret,
             axis_name=TP,
+            ep_axis=EP if ep_axis else None,
             page_size=page_size,
             sp_batch=sp_batch,
         ),
@@ -174,14 +206,15 @@ def tp_prefill_chunk_step(
     quant: Optional[str] = None,
     interpret: Optional[bool] = None,
     dp_axis: bool = False,  # lane rows shard over "dp" (LOCAL page ids)
+    ep_axis: bool = False,  # "ep" replica axis + expert-sharded params
     page_size: Optional[int] = None,
 ):
     """Tensor-parallel batched chunked prefill (engine.prefill_chunk_core
     under shard_map). Returns (logits (P, vocab), pools) with pools still
     sharded."""
-    pspecs = param_partition_specs(params)
-    kspecs = _kspecs(pools, dp_axis)
-    bspec = P(DP) if dp_axis else P()
+    pspecs = _pspecs(params, ep_axis)
+    kspecs = _kspecs(pools, dp_axis, ep_axis)
+    bspec = P(_batch_axes(dp_axis, ep_axis))
     lcfg = _local_cfg(cfg, mesh.shape[TP])
 
     fn = jax.shard_map(
@@ -191,6 +224,7 @@ def tp_prefill_chunk_step(
             quant=quant,
             interpret=interpret,
             axis_name=TP,
+            ep_axis=EP if ep_axis else None,
             page_size=page_size,
         ),
         mesh=mesh,
@@ -209,7 +243,7 @@ tp_decode_step_jit = functools.partial(
     jax.jit,
     static_argnames=(
         "cfg", "mesh", "quant", "interpret", "top_k", "top_p", "sp_batch",
-        "dp_axis", "page_size",
+        "dp_axis", "ep_axis", "page_size",
     ),
     donate_argnames=("pools",),
 )(tp_decode_step)
@@ -217,14 +251,14 @@ tp_decode_step_jit = functools.partial(
 tp_verify_step_jit = functools.partial(
     jax.jit,
     static_argnames=("cfg", "mesh", "quant", "interpret", "dp_axis",
-                     "sp_batch", "page_size"),
+                     "ep_axis", "sp_batch", "page_size"),
     donate_argnames=("pools",),
 )(tp_verify_step)
 
 tp_prefill_chunk_step_jit = functools.partial(
     jax.jit,
     static_argnames=("cfg", "mesh", "quant", "interpret", "dp_axis",
-                     "page_size"),
+                     "ep_axis", "page_size"),
     donate_argnames=("pools",),
 )(tp_prefill_chunk_step)
 

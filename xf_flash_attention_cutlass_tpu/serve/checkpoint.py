@@ -65,6 +65,9 @@ def save_engine(engine, path: str, include_params: bool = False) -> None:
     pools_data, pools_spec, _ = _pack(engine.pools)
     state = dict(
         cfg=dataclasses.asdict(engine.cfg),
+        # MoE engines carry a MoEConfig (LlamaConfig subclass, extra
+        # fields like n_experts); record which class to rebuild on load
+        cfg_class=type(engine.cfg).__name__,
         ecfg=dataclasses.asdict(engine.ecfg),
         pools_spec=pools_spec,
         pool_keys=sorted(engine.pools.keys()),
@@ -112,7 +115,12 @@ def load_engine(
 
     with np.load(path, allow_pickle=False) as z:
         state = json.loads(bytes(z["state"].tobytes()).decode())
-        saved_cfg = LlamaConfig(**state["cfg"])
+        if state.get("cfg_class", "LlamaConfig") == "MoEConfig":
+            from xf_flash_attention_cutlass_tpu.models.moe import MoEConfig
+
+            saved_cfg = MoEConfig(**state["cfg"])
+        else:
+            saved_cfg = LlamaConfig(**state["cfg"])
         saved_ecfg = EngineConfig(**state["ecfg"])
         if cfg is not None and dataclasses.asdict(cfg) != state["cfg"]:
             raise ValueError("cfg does not match the checkpoint")
@@ -130,8 +138,15 @@ def load_engine(
                 key=lambda k: int(k.rsplit("_", 1)[1]),
             )
             # params were packed leaf-by-leaf; rebuild via the same pytree
-            # structure as a freshly initialized model
-            from xf_flash_attention_cutlass_tpu.models.llama import init_params
+            # structure as a freshly initialized model (of the right family)
+            if type(cfg).__name__ == "MoEConfig":
+                from xf_flash_attention_cutlass_tpu.models.moe import (
+                    init_moe_params as init_params,
+                )
+            else:
+                from xf_flash_attention_cutlass_tpu.models.llama import (
+                    init_params,
+                )
 
             template = init_params(jax.random.PRNGKey(0), cfg)
             treedef = jax.tree.structure(template)
@@ -156,7 +171,8 @@ def load_engine(
             )
 
             engine.pools = shard_pools(
-                engine.pools, mesh, dp_axis=engine.dp > 1
+                engine.pools, mesh, dp_axis=engine.dp > 1,
+                ep_axis=engine.ep > 1,
             )
         engine.pool.restore(z["allocator"])
         engine.queue = deque(tuple(e) for e in state["queue"])

@@ -663,25 +663,48 @@ class DecodeEngine:
         # the batch slots AND of the page pool (pool page axis sharded over
         # "dp"); all host-side page ids are replica-LOCAL
         self.dp = 1
+        self.ep = 1
         if mesh is not None and "dp" in mesh.shape:
             self.dp = int(mesh.shape["dp"])
-        if self.dp > 1:
+        if mesh is not None and "ep" in mesh.shape:
+            self.ep = int(mesh.shape["ep"])
+        if self.ep > 1 and "router" not in params["layers"]:
+            raise ValueError(
+                "mesh has ep>1 but params are not a MoE model (no router); "
+                "expert parallelism shards the expert axis of MoE FFNs"
+            )
+        if self.ep > 1 and cfg.n_experts % self.ep:
+            raise ValueError(
+                f"n_experts {cfg.n_experts} must divide ep={self.ep}"
+            )
+        # Host-side bookkeeping treats every (dp, ep) pair as one replica:
+        # an ep shard IS a dp replica for all non-expert tensors — it owns
+        # its own batch slots, page-pool slice and block tables
+        # (parallel/ep_serve.py); only the PARAM sharding differs (expert
+        # leaves over "ep", everything else replicated across it).
+        # Replica index r = dp_idx * ep + ep_idx, matching the row-major
+        # (dp, ep) batch-axis tuple in the shard_map specs.
+        self.n_replicas = self.dp * self.ep
+        if self.n_replicas > 1:
             for name, val in (
                 ("max_batch", ecfg.max_batch),
                 ("num_pages", ecfg.num_pages),
                 ("prefill_lanes", ecfg.prefill_lanes),
             ):
-                if val % self.dp:
-                    raise ValueError(f"{name} ({val}) must divide dp={self.dp}")
-        num_pages_local = ecfg.num_pages // self.dp
-        if self.dp > 1:
+                if val % self.n_replicas:
+                    raise ValueError(
+                        f"{name} ({val}) must divide dp*ep="
+                        f"{self.n_replicas}"
+                    )
+        num_pages_local = ecfg.num_pages // self.n_replicas
+        if self.n_replicas > 1:
             from xf_flash_attention_cutlass_tpu.serve.allocator import (
                 DpPagePools,
             )
 
             self.pool = DpPagePools(
-                self.dp, num_pages_local, ecfg.page_size,
-                ecfg.max_batch // self.dp,
+                self.n_replicas, num_pages_local, ecfg.page_size,
+                ecfg.max_batch // self.n_replicas,
             )
         else:
             self.pool = PagePool(
@@ -691,7 +714,7 @@ class DecodeEngine:
         # +1 physical page PER REPLICA SHARD: the trash page absorbing
         # padded prefill writes (local id num_pages_local in every shard)
         shape = (
-            L, self.dp * (num_pages_local + 1), cfg.n_kv_heads,
+            L, self.n_replicas * (num_pages_local + 1), cfg.n_kv_heads,
             ecfg.page_size, cfg.head_dim,
         )
         self.trash_page = num_pages_local
@@ -753,9 +776,32 @@ class DecodeEngine:
                     f"n_kv_heads {cfg.n_kv_heads} must divide tp="
                     f"{mesh.shape[TP]}"
                 )
-            self.params = shard_params(self.params, mesh)
-            self._decode_params = shard_params(self._decode_params, mesh)
-            self.pools = shard_pools(self.pools, mesh, dp_axis=self.dp > 1)
+            if self.ep > 1:
+                # expert leaves shard their expert axis over "ep"; all
+                # other params follow the tp specs and replicate over ep
+                from jax.sharding import NamedSharding
+                from xf_flash_attention_cutlass_tpu.parallel.ep_serve import (
+                    ep_param_partition_specs,
+                )
+
+                def _put_ep(tree):
+                    specs = ep_param_partition_specs(tree, tp=True)
+                    return jax.tree_util.tree_map(
+                        lambda x, s: jax.device_put(
+                            x, NamedSharding(mesh, s)
+                        ),
+                        tree, specs,
+                    )
+
+                self.params = _put_ep(self.params)
+                self._decode_params = _put_ep(self._decode_params)
+            else:
+                self.params = shard_params(self.params, mesh)
+                self._decode_params = shard_params(self._decode_params, mesh)
+            self.pools = shard_pools(
+                self.pools, mesh, dp_axis=self.dp > 1,
+                ep_axis=self.ep > 1,
+            )
         self.queue: deque = deque()
         self.active: Dict[int, dict] = {}  # slot -> request state
         self.results: Dict[int, List[int]] = {}
@@ -811,14 +857,14 @@ class DecodeEngine:
         page = self.ecfg.page_size
         shared_pages = len(tokens) // page
         shared_len = shared_pages * page
-        if self.dp > 1:
+        if self.n_replicas > 1:
             # replicate the prefix into EVERY replica's pool shard: each
             # replica gets its own (local-id) page reservation and runs
             # the same prefill chunks into it, so later requests on any
             # replica attend to the prefix with zero cross-dp traffic
             pages_by_replica = (
                 self.pool.prefix_alloc_all(shared_pages)
-                if shared_pages else [[] for _ in range(self.dp)]
+                if shared_pages else [[] for _ in range(self.n_replicas)]
             )
         else:
             one = self.pool.prefix_alloc(shared_pages) if shared_pages else []
@@ -828,16 +874,17 @@ class DecodeEngine:
         # prefill the shared tokens chunk by chunk into the prefix pages
         C = self.ecfg.prefill_chunk
         mp = self.ecfg.max_pages_per_seq
-        if self.dp > 1:
+        if self.n_replicas > 1:
             # one active lane per replica (the lane-batched chunk step
-            # shards lane rows over dp): every replica prefills the same
-            # chunk into its own prefix pages. Idle lanes keep n_valid=0
-            # and trash tables, exactly like normal prefill idling.
+            # shards lane rows over the replica axes): every replica
+            # prefills the same chunk into its own prefix pages. Idle
+            # lanes keep n_valid=0 and trash tables, exactly like normal
+            # prefill idling.
             P = self.ecfg.prefill_lanes
-            lanes_local = P // self.dp
+            lanes_local = P // self.n_replicas
             bt_rows = np.full((P, mp), self.trash_page, np.int32)
             act = []
-            for r in range(self.dp):
+            for r in range(self.n_replicas):
                 lane = r * lanes_local
                 bt_rows[lane, : shared_pages] = pages_by_replica[r]
                 act.append(lane)
@@ -888,7 +935,7 @@ class DecodeEngine:
             raise RuntimeError(f"prefix {prefix_id!r} still in use")
         pf = self._prefixes.pop(prefix_id)
         if pf["n_pages"]:
-            if self.dp > 1:
+            if self.n_replicas > 1:
                 self.pool.prefix_free_all(pf["pages_by_replica"])
             else:
                 self.pool.prefix_free(pf["pages_by_replica"][0])
@@ -905,6 +952,7 @@ class DecodeEngine:
                 self._decode_params, tokens, n_prior, n_valid, self.pools,
                 bt, cfg=self.cfg, mesh=self.mesh, quant=self.ecfg.kv_quant,
                 interpret=self.interpret, dp_axis=self.dp > 1,
+                ep_axis=self.ep > 1,
                 page_size=self.ecfg.page_size,
             )
         return prefill_chunk_step(
@@ -942,7 +990,7 @@ class DecodeEngine:
                 cfg=self.cfg, mesh=self.mesh, quant=self.ecfg.kv_quant,
                 interpret=self.interpret, temperature=temps, sample_key=key,
                 top_k=self.ecfg.top_k, top_p=self.ecfg.top_p,
-                dp_axis=self.dp > 1, sp_batch=True,
+                dp_axis=self.dp > 1, ep_axis=self.ep > 1, sp_batch=True,
                 page_size=self.ecfg.page_size,
             )
         return decode_step(
@@ -961,6 +1009,7 @@ class DecodeEngine:
                 self._decode_params, tokens, self.pools, bt, kv_lens,
                 cfg=self.cfg, mesh=self.mesh, quant=self.ecfg.kv_quant,
                 interpret=self.interpret, dp_axis=self.dp > 1,
+                ep_axis=self.ep > 1,
                 sp_batch=True, page_size=self.ecfg.page_size,
             )
         return verify_step(
@@ -979,10 +1028,10 @@ class DecodeEngine:
 
     def _start_chunked_prefill(self, lane: int) -> bool:
         rid, prompt, max_new, temp, prefix_id = self.queue[0]
-        if self.dp > 1:
-            # lane rows shard over dp in the batched chunk step: lane l
-            # prefills into replica l // lanes_local's pool shard
-            lanes_local = self.ecfg.prefill_lanes // self.dp
+        if self.n_replicas > 1:
+            # lane rows shard over the replica axes in the batched chunk
+            # step: lane l prefills into replica l // lanes_local's shard
+            lanes_local = self.ecfg.prefill_lanes // self.n_replicas
             replica = lane // lanes_local
             if prefix_id is not None:
                 pf = self._prefixes[prefix_id]
