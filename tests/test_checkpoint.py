@@ -233,3 +233,36 @@ def test_checkpoint_resume_ep_mesh(tmp_path):
     out = eng2.run()
     for rid in prompts:
         assert list(out[rid]) == list(ref[rid]), rid
+
+
+def test_checkpoint_resume_moe_single_device(tmp_path):
+    """MoE engine checkpoints load as MoEConfig (regression: load_engine
+    rebuilt every cfg as LlamaConfig and raised on n_experts), including
+    params round-trip via include_params=True."""
+    from xf_flash_attention_cutlass_tpu.models.moe import (
+        MoEConfig, init_moe_params,
+    )
+
+    cfg = MoEConfig(
+        vocab_size=64, dim=64, n_layers=2, n_heads=4, n_kv_heads=2,
+        ffn_dim=96, max_seq_len=256, n_experts=4, top_k=2,
+        capacity_factor=8.0,
+    )
+    params = init_moe_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    ecfg = EngineConfig(max_batch=2, page_size=16, num_pages=32, max_seq=128)
+    prompt = [(3 * i + 5) % cfg.vocab_size for i in range(13)]
+
+    ref_eng = DecodeEngine(params, cfg, ecfg, dtype=jnp.float32)
+    ref_eng.add_request(0, prompt, 6)
+    ref = ref_eng.run()
+
+    eng = DecodeEngine(params, cfg, ecfg, dtype=jnp.float32)
+    eng.add_request(0, prompt, 6)
+    for _ in range(3):
+        eng.step()
+    path = str(tmp_path / "ckpt_moe.npz")
+    save_engine(eng, path, include_params=True)
+    eng2 = load_engine(path, dtype=jnp.float32)  # params from checkpoint
+    assert type(eng2.cfg).__name__ == "MoEConfig"
+    out = eng2.run()
+    assert list(out[0]) == list(ref[0])
