@@ -101,6 +101,61 @@ def report():
             f"  overlap={ov:.1f}: {B / t:>8.0f} tok/s"
             f"  (eff {B / t / (4 * TOK_S_1CHIP):.0%})"
         )
+    report_ep()
+
+
+# ---- expert-parallel MoE scaling (engine ep mode, parallel/ep_serve.py) --
+# Measured single-chip anchor (benchmarks/bench_suite.py, real v5e):
+# Mixtral-class layer (4 experts x 14336, top-2, dim 4096), 64 reqs,
+# int8 experts + int8 KV: 1319us/layer. Decomposition (RESULTS_r3/CLAUDE):
+# expert WEIGHT stream dominates at decode batch sizes — 3 mats x
+# 4096*14336 x 4 experts x 1B(int8) = 689MB -> 841us at 819GB/s; the
+# remainder (attention int8 stream + projections + token compute +
+# dispatch) is ~478us and does NOT shrink with ep (each ep shard serves
+# its own b=64 requests).
+MOE_E, MOE_TOPK, MOE_FFN = 4, 2, 14336
+T_MOE_LAYER = 1319e-6
+T_MOE_EXPERT_W = 3 * DIM * MOE_FFN * MOE_E * 1 / 819e9  # int8 weight stream
+T_MOE_REST = T_MOE_LAYER - T_MOE_EXPERT_W
+MOE_TOK_S_1CHIP = B / (N_LAYERS * T_MOE_LAYER + T_FIXED)
+
+
+def moe_step_time(ep: int) -> float:
+    """Per-step seconds at expert parallelism ep (engine ep mode): the
+    expert weight stream divides by ep (each chip holds E/ep experts);
+    two GShard all_to_alls per layer move the dispatched (E, C, dim)
+    bf16 blocks over ICI (C = b*top_k/E at capacity factor 1 — the a2a
+    payload is ACTIVATIONS, tiny vs the weight stream it saves)."""
+    cap = -(-B * MOE_TOPK // MOE_E)  # per-shard capacity rows
+    a2a_bytes = MOE_E * cap * DIM * 2  # bf16 dispatch blocks per device
+    comm = 2 * ici_collective_seconds(a2a_bytes, ep, V5E, "all_to_all")
+    t_layer = T_MOE_REST + T_MOE_EXPERT_W / ep + comm
+    return N_LAYERS * t_layer + T_FIXED
+
+
+def report_ep():
+    print(
+        "\nexpert-parallel MoE serving (modeled from the measured "
+        f"single-chip row: {MOE_TOK_S_1CHIP:.0f} tok/s, "
+        "Mixtral-class int8 experts + int8 KV):"
+    )
+    for ep in (2, 4, 8):
+        t = moe_step_time(ep)
+        toks = ep * B / t  # each ep shard serves its own B requests
+        vs_dp = toks / (ep * MOE_TOK_S_1CHIP)
+        print(
+            f"  ep={ep}: {toks:>8.0f} tok/s aggregate "
+            f"({vs_dp:.2f}x pure-dp at equal chips; a2a "
+            f"{2 * ici_collective_seconds(MOE_E * (-(-B * MOE_TOPK // MOE_E)) * DIM * 2, ep, V5E, 'all_to_all') * 1e6:.0f}us/layer)"
+        )
+    print(
+        "  EP is SUPER-linear vs replication because the dominant cost —"
+        " the per-chip expert weight stream — divides by ep while the a2a"
+        " activation payload stays ~1MB/layer; this is why ep (not dp) is"
+        " the deployment axis for MoE decode. All ep>1 rows are MODELED"
+        " (one chip here); the engine ep mode itself is token-identity-"
+        " tested on the CPU mesh (tests/test_moe_ep_serve.py)."
+    )
 
 
 if __name__ == "__main__":
