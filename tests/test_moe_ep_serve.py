@@ -361,3 +361,22 @@ def test_ep_engine_rejects_dense_params():
                          max_seq=64, prefill_chunk=32),
             dtype=jnp.float32, mesh=mesh,
         )
+
+
+def test_dp_ep_engine_moe_token_identical():
+    """dp2 x ep2 engine: n_replicas = dp*ep = 4 host-side replicas; the
+    row-major replica index (r = dp_idx*ep + ep_idx) must match the
+    P(("dp","ep")) batch/page sharding order."""
+    from xf_flash_attention_cutlass_tpu.serve import EngineConfig
+
+    cfg, params = _moe_setup()
+    mesh = make_mesh(dp=2, ep=2, devices=_cpu_devices(4))
+    ecfg = EngineConfig(
+        max_batch=4, page_size=16, num_pages=64, max_seq=256,
+        prefill_chunk=32, prefill_lanes=4,
+    )
+    prompts = _engine_prompts(cfg)
+    ref = _run_engine(params, cfg, ecfg, None, prompts)
+    out = _run_engine(params, cfg, ecfg, mesh, prompts)
+    for rid in prompts:
+        assert list(out[rid]) == list(ref[rid]), rid
