@@ -380,3 +380,39 @@ def test_dp_ep_engine_moe_token_identical():
     out = _run_engine(params, cfg, ecfg, mesh, prompts)
     for rid in prompts:
         assert list(out[rid]) == list(ref[rid]), rid
+
+
+def test_ep_engine_all_features_token_identical():
+    """Maximal EP composition in one engine: ep2 mesh x int8 expert
+    weights (quantize_moe_params) x int8 KV pools x shared-prefix caching
+    x speculative decoding. Streams must match the identical-featured
+    single-device engine."""
+    from xf_flash_attention_cutlass_tpu.models.moe import quantize_moe_params
+    from xf_flash_attention_cutlass_tpu.serve import EngineConfig
+
+    cfg, params = _moe_setup()
+    params = quantize_moe_params(params)
+    mesh = make_mesh(ep=2, devices=_cpu_devices(2))
+    page = 16
+    ecfg = EngineConfig(
+        max_batch=4, page_size=page, num_pages=64, max_seq=256,
+        prefill_chunk=32, prefill_lanes=2, speculate_k=3, kv_quant="int8",
+    )
+    prefix = [(3 * i + 1) % cfg.vocab_size for i in range(page + 5)]
+    prompts = {0: [9, 4, 7, 7, 7, 7], 1: [15, 2, 8]}
+
+    def run(mesh_arg):
+        from xf_flash_attention_cutlass_tpu.serve import DecodeEngine
+
+        eng = DecodeEngine(params, cfg, ecfg, dtype=jnp.float32, mesh=mesh_arg)
+        eng.register_prefix("sys", prefix)
+        for rid, p in prompts.items():
+            eng.add_request(rid, p, 6, prefix_id="sys")
+        out = eng.run()
+        eng.release_prefix("sys")
+        return out
+
+    ref = run(None)
+    out = run(mesh)
+    for rid in prompts:
+        assert list(out[rid]) == list(ref[rid]), rid
