@@ -155,7 +155,12 @@ def bench_sampling(V=128256, B=64):
     run("temp", temperature=temps, key=key)
     run("topk40", temperature=temps, key=key, top_k=40)
     run("topk40+topp0.9", temperature=temps, key=key, top_k=40, top_p=0.9)
-    run("topp0.9 (full-vocab sort)", temperature=temps, key=key, top_p=0.9)
+    # pure top-p now defaults to the 256-candidate approx prefix
+    # (round-4 verdict #5); approx_top_k=False restores the full-vocab
+    # argsort formulation (was 148ms at V=128k in round 4)
+    run("topp0.9 (approx prefix)", temperature=temps, key=key, top_p=0.9)
+    run("topp0.9 exact (full-vocab sort)", temperature=temps, key=key,
+        top_p=0.9, approx_top_k=False)
 
 
 def _engine_decode_step_seconds(quant, n_layers, quant_weights,

@@ -187,3 +187,57 @@ def test_varlen_attn_probs_exact():
         if p_drop > 0.0:
             o2 = o2 / (1 - p_drop)
         assert max_err(out, o2) < 2e-5
+
+
+def test_varlen_paged_attn_probs_exact():
+    """Paged-varlen S_dmask (round-4 verdict #8 — an EXTENSION: the
+    reference's paged varlen path passes nullptr for softmax,
+    paged_attn.cpp:425): same packed-key convention as the dense varlen
+    S_dmask, cross-sequence entries 0, relu(S) @ V reproduces the paged
+    forward; dropout replays the dense-fallback grid exactly."""
+    from xf_flash_attention_cutlass_tpu.api import flash_attn_varlen_func
+
+    b, h, d, page = 3, 2, 64, 16
+    len_q = np.array([60, 113, 30], np.int32)
+    len_k = np.array([90, 113, 70], np.int32)
+    cu_q = jnp.asarray(np.concatenate([[0], np.cumsum(len_q)]), jnp.int32)
+    cu_k = jnp.asarray(np.concatenate([[0], np.cumsum(len_k)]), jnp.int32)
+    tq, tk = int(cu_q[-1]), int(cu_k[-1])
+    q = rand(jax.random.PRNGKey(0), (tq, h, d), jnp.float32, scale=0.5)
+    kp = rand(jax.random.PRNGKey(1), (tk, h, d), jnp.float32, scale=0.5)
+    vp = rand(jax.random.PRNGKey(2), (tk, h, d), jnp.float32)
+
+    max_pages = int(np.ceil(len_k.max() / page))
+    n_blocks = b * max_pages + 1
+    bt = np.arange(b * max_pages, dtype=np.int32).reshape(b, max_pages) + 1
+    k_cache = np.zeros((n_blocks, page, h, d), np.float32)
+    v_cache = np.zeros((n_blocks, page, h, d), np.float32)
+    for i in range(b):
+        for j in range(int(len_k[i])):
+            pe, row = bt[i, j // page], j % page
+            k_cache[pe, row] = np.asarray(kp[int(cu_k[i]) + j])
+            v_cache[pe, row] = np.asarray(vp[int(cu_k[i]) + j])
+    k_cache, v_cache = jnp.asarray(k_cache), jnp.asarray(v_cache)
+    seqused = jnp.asarray(len_k)
+
+    for p_drop in (0.0, 0.3):
+        out, lse, sd = flash_attn_varlen_func(
+            q, k_cache, v_cache, cu_q, cu_k, max_seqlen_q=113,
+            max_seqlen_k=113, causal=True, dropout_p=p_drop,
+            dropout_seed=11, return_attn_probs=True,
+            block_table=jnp.asarray(bt), seqused_k=seqused,
+        )
+        assert sd.shape == (h, tq, tk)
+        qseg = np.repeat(np.arange(b), len_q)
+        kseg = np.repeat(np.arange(b), len_k)
+        cross = qseg[:, None] != kseg[None, :]
+        assert float(np.max(np.abs(np.asarray(sd)[:, cross]))) == 0.0
+        # visible rows are softmax-normalized (p_drop=0 pass only)
+        if p_drop == 0.0:
+            rows = np.asarray(jnp.sum(jnp.maximum(sd, 0.0), -1))
+            assert abs(float(rows.max()) - 1.0) < 1e-4
+        # replay: relu(S) @ packed V == paged forward output
+        o2 = jnp.einsum("hqk,khd->qhd", jnp.maximum(sd, 0.0), vp)
+        if p_drop > 0.0:
+            o2 = o2 / (1 - p_drop)
+        assert max_err(out, o2) < 2e-5

@@ -266,3 +266,32 @@ def test_checkpoint_resume_moe_single_device(tmp_path):
     assert type(eng2.cfg).__name__ == "MoEConfig"
     out = eng2.run()
     assert list(out[0]) == list(ref[0])
+
+
+def test_checkpoint_quantized_params_roundtrip(tmp_path):
+    """include_params with WEIGHT-quantized engines (round-4 ADVICE #2):
+    the saved (w_q, scale)-tuple leaf structure must restore into a
+    matching treedef (eval_shape'd quantized template), token-identical
+    resume; a mismatched template raises clearly instead of mis-zipping
+    leaves."""
+    from xf_flash_attention_cutlass_tpu.models.llama import quantize_params
+
+    cfg = _small_cfg()
+    params = quantize_params(init_params(jax.random.PRNGKey(0), cfg))
+    ecfg = EngineConfig(max_batch=2, page_size=16, num_pages=64, max_seq=256)
+    prompt = [3, 5, 7, 11, 13]
+
+    ref_eng = DecodeEngine(params, cfg, ecfg)
+    ref_eng.add_request(1, prompt, 8)
+    ref = ref_eng.run()
+
+    eng = DecodeEngine(params, cfg, ecfg)
+    eng.add_request(1, prompt, 8)
+    for _ in range(3):
+        eng.step()
+    path = str(tmp_path / "ckpt_qw.npz")
+    save_engine(eng, path, include_params=True)
+    eng2 = load_engine(path)  # params (quantized tuples) from checkpoint
+    assert isinstance(eng2.params["layers"]["wq"], tuple)
+    out = eng2.run()
+    assert list(out[1]) == list(ref[1])

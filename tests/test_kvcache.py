@@ -546,3 +546,73 @@ def test_paged_rows_split_exact():
             del os.environ["XFA_PAGED_ROWS_MAX"]
         assert max_err(o, ref_o) < 1e-6, kw
         assert max_err(l, ref_l) < 1e-6, kw
+
+
+def test_paged_append_prefill_padded_small_page():
+    """PADDED small-page quantized pools (stored 32 rows / true page 16,
+    the engine's page-16 int8/fp8 layout): prefill appends must take the
+    Pallas storage-coordinate path (round-4 verdict #2) and match the
+    scatter oracle on every LIVE element — values bit-exact, live scale
+    columns exact, padded scale tail written 1.0, untouched pages
+    untouched."""
+    from xf_flash_attention_cutlass_tpu.ops.kvcache import (
+        append_kv_paged_quantized,
+    )
+    from xf_flash_attention_cutlass_tpu.ops.paged_append import paged_append
+
+    rng = np.random.default_rng(7)
+    for qdt, qname in ((jnp.int8, "int8"), (jnp.float8_e4m3fn, "fp8_e4m3")):
+        L, nb, hk, page, stored, sc, d = 2, 10, 2, 16, 32, 128, 128
+        b, sq = 2, 64  # 4 logical pages per row
+        kp = jnp.asarray(
+            rng.integers(-90, 90, (L, nb, hk, stored, d)), jnp.int8
+        ).astype(qdt)
+        vp = jnp.asarray(
+            rng.integers(-90, 90, (L, nb, hk, stored, d)), jnp.int8
+        ).astype(qdt)
+        ks = jnp.asarray(rng.random((L, nb, hk, sc)), jnp.float32)
+        vs = jnp.asarray(rng.random((L, nb, hk, sc)), jnp.float32)
+        bt = jnp.asarray(
+            rng.permutation(nb)[: b * 5].reshape(b, 5), jnp.int32
+        )
+        kn = rand(jax.random.PRNGKey(2), (b, sq, hk, d), jnp.float32)
+        vn = rand(jax.random.PRNGKey(3), (b, sq, hk, d), jnp.float32)
+        pos = jnp.asarray([16, 0], jnp.int32)  # page-aligned starts
+        lidx = jnp.asarray(1, jnp.int32)
+
+        rk, rks, rv, rvs = append_kv_paged_quantized(
+            kp, ks, vp, vs, kn, vn, bt, pos, layer_idx=lidx, page_size=page
+        )
+        ok, ov, oks, ovs = paged_append(
+            kp.copy(), vp.copy(), kn, vn, bt, pos,
+            k_scales=ks.copy(), v_scales=vs.copy(), layer_idx=lidx,
+            page_size=page,
+        )
+        # values: every element identical (oracle writes live rows; the
+        # Pallas path additionally zeroes padded rows of touched pages,
+        # which the oracle leaves — compare live rows everywhere + check
+        # the padded rows of touched pages are quantized zeros)
+        touched = np.zeros(nb, bool)
+        for i in range(b):
+            npg = sq // page
+            start = int(pos[i]) // page
+            touched[np.asarray(bt)[i, start : start + npg]] = True
+        okn, rkn = np.asarray(ok, jnp.float32), np.asarray(rk, jnp.float32)
+        ovn, rvn = np.asarray(ov, jnp.float32), np.asarray(rv, jnp.float32)
+        assert np.array_equal(okn[:, :, :, :page], rkn[:, :, :, :page]), qname
+        assert np.array_equal(ovn[:, :, :, :page], rvn[:, :, :, :page]), qname
+        assert np.all(okn[1][touched][:, :, page:] == 0.0), qname
+        assert np.array_equal(okn[1][~touched], rkn[1][~touched]), qname
+        # scales: live columns exact, padded tail of touched pages 1.0,
+        # untouched pages untouched
+        oksn, rksn = np.asarray(oks), np.asarray(rks)
+        ovsn, rvsn = np.asarray(ovs), np.asarray(rvs)
+        assert np.allclose(
+            oksn[:, :, :, :page], rksn[:, :, :, :page], atol=1e-6
+        ), qname
+        assert np.allclose(
+            ovsn[:, :, :, :page], rvsn[:, :, :, :page], atol=1e-6
+        ), qname
+        assert np.all(oksn[1][touched][:, :, page:] == 1.0), qname
+        assert np.array_equal(oksn[1][~touched], rksn[1][~touched]), qname
+        assert np.array_equal(oksn[0], np.asarray(ks)[0]), qname  # other layer

@@ -469,3 +469,189 @@ def test_engine_speculative_moe_token_exact():
         logits, _ = moe_forward(params, jnp.asarray([toks], jnp.int32), cfg)
         toks.append(int(jnp.argmax(logits[0, -1])))
     assert list(out[0]) == toks[len(prompt):]
+
+
+def test_sample_tokens_pure_top_p_fast_path():
+    """Pure top-p (top_k=0) routes through the approx_max_k prefix
+    (round-4 verdict #5): every sampled token must lie inside the TRUE
+    nucleus, and the exact opt-out (approx_top_k=False) must agree on
+    support. V=512 with a peaked distribution whose p=0.7 nucleus is a
+    handful of tokens."""
+    import numpy as np
+
+    from xf_flash_attention_cutlass_tpu.serve.engine import sample_tokens
+
+    rng = np.random.RandomState(3)
+    b, V, p = 4, 512, 0.7
+    logits_np = rng.randn(b, V).astype(np.float32)
+    # sharpen so the nucleus is small and well separated from the tail
+    logits_np[np.arange(b), rng.randint(0, V, b)] += 6.0
+    logits_np[np.arange(b), rng.randint(0, V, b)] += 5.0
+    logits = jnp.asarray(logits_np)
+    temps = jnp.ones((b,), jnp.float32)
+
+    # exact nucleus per row (sequential-filter convention: keep tokens
+    # until cumulative prob first reaches p; the top token always stays)
+    nucleus = []
+    for i in range(b):
+        order = np.argsort(-logits_np[i])
+        pr = np.exp(logits_np[i][order] - logits_np[i].max())
+        pr = pr / pr.sum()
+        cum = np.cumsum(pr)
+        keep = (cum - pr) < p
+        nucleus.append(set(order[keep].tolist()))
+
+    for trial in range(50):
+        key = jax.random.PRNGKey(trial)
+        fast = np.asarray(
+            sample_tokens(logits, temps, key, top_p=p, approx_top_k=True)
+        )
+        exact = np.asarray(
+            sample_tokens(logits, temps, key, top_p=p, approx_top_k=False)
+        )
+        for i in range(b):
+            assert int(fast[i]) in nucleus[i], (trial, i)
+            assert int(exact[i]) in nucleus[i], (trial, i)
+
+
+def test_engine_config_approx_top_k_knob():
+    """EngineConfig.approx_top_k plumbs through to sampling (round-4
+    verdict #7): an exact-sampling engine runs end-to-end, and pure
+    top-p configs no longer need top_k set."""
+    cfg, params = _tiny()
+    outs = {}
+    for approx in (True, False):
+        ecfg = EngineConfig(
+            max_batch=2, page_size=16, num_pages=32, max_seq=256,
+            top_p=0.8, top_k=0, approx_top_k=approx, sample_seed=7,
+        )
+        eng = DecodeEngine(params, cfg, ecfg, dtype=jnp.float32)
+        eng.add_request(0, [3, 17, 42, 9], 5, temperature=0.8)
+        outs[approx] = eng.run()[0]
+        assert len(outs[approx]) == 5
+        assert all(0 <= int(t) < cfg.vocab_size for t in outs[approx])
+
+
+def test_engine_preemption_token_identity():
+    """Preemption correctness (round-4 verdict #4): with too few pages for
+    the decode phase, requests get preempted (OOM on extend), requeued
+    with their full context, and resumed via prefill — and every
+    request's FINAL stream (pre-preemption tokens + resumed tokens) is
+    token-identical to an uncontended run of the same prompt."""
+    cfg, params = _tiny()
+    rng = np.random.default_rng(42)
+    prompts = {
+        rid: [int(t) for t in rng.integers(0, cfg.vocab_size, 17 + 3 * rid)]
+        for rid in range(4)
+    }
+    max_new = 40
+
+    # uncontended reference: plenty of pages, one request at a time
+    ref = {}
+    for rid, prompt in prompts.items():
+        ecfg = EngineConfig(max_batch=1, page_size=16, num_pages=64,
+                            max_seq=256)
+        eng = DecodeEngine(params, cfg, ecfg, dtype=jnp.float32)
+        eng.add_request(rid, prompt, max_new)
+        ref[rid] = eng.run()[rid]
+        assert len(ref[rid]) == max_new
+
+    # contended: 4 slots but only 12 pages -> admits all four (2 pages
+    # each) and OOMs during decode growth, forcing preemptions
+    ecfg = EngineConfig(max_batch=4, page_size=16, num_pages=12, max_seq=256)
+    eng = DecodeEngine(params, cfg, ecfg, dtype=jnp.float32)
+    for rid, prompt in prompts.items():
+        eng.add_request(rid, prompt, max_new)
+    out = eng.run()
+    stats = eng.stats_summary()
+    assert stats["preemptions"] > 0, stats
+    assert eng.pool.free_pages() == ecfg.num_pages  # all pages returned
+    assert not eng._preempt_emitted  # fully drained into results
+    for rid in prompts:
+        assert out[rid] == ref[rid], (
+            rid, stats["preemptions"], len(out[rid]), len(ref[rid])
+        )
+
+
+def test_engine_preemption_with_prefix_and_spec():
+    """Preemption composed with prefix caching + speculative decode
+    (round-4 verdict #4: the spec-decode rollback interaction at the
+    L-token extend): preempted spec/prefix requests resume and finish
+    with exactly the uncontended stream."""
+    cfg, params = _tiny()
+    prefix = [(5 * i + 2) % cfg.vocab_size for i in range(32)]
+    prompts = {
+        rid: [(3 * i + rid) % cfg.vocab_size for i in range(9)]
+        for rid in range(3)
+    }
+    max_new = 24
+
+    def make(num_pages):
+        ecfg = EngineConfig(
+            max_batch=3, page_size=16, num_pages=num_pages, max_seq=256,
+            prefill_chunk=16, speculate_k=3,
+        )
+        eng = DecodeEngine(params, cfg, ecfg, dtype=jnp.float32)
+        eng.register_prefix("sys", prefix)
+        return eng
+
+    ref = {}
+    for rid, prompt in prompts.items():
+        eng = make(64)
+        eng.add_request(rid, prompt, max_new, prefix_id="sys")
+        ref[rid] = eng.run()[rid]
+        assert len(ref[rid]) == max_new
+
+    # shared prefix holds 2 pages; 9 total pages leave only 7 for three
+    # requests that each grow to 3 own pages -> preemption under spec
+    # decode's L-token extend
+    eng = make(9)
+    for rid, prompt in prompts.items():
+        eng.add_request(rid, prompt, max_new, prefix_id="sys")
+    out = eng.run()
+    stats = eng.stats_summary()
+    assert stats["preemptions"] > 0, stats
+    for rid in prompts:
+        assert out[rid] == ref[rid], (rid, stats["preemptions"])
+
+
+@pytest.mark.parametrize("kv_quant", ["int8", "fp8_e4m3"])
+def test_engine_chunked_prefill_quant_small_page(kv_quant):
+    """Quantized page-16 engines with page-aligned chunked prefill now
+    take the Pallas storage-coordinate append (round-4 verdict #2, no
+    pool copy per chunk) and must stay token-identical to naive greedy
+    AND to the same engine at a 128-multiple page size. head_dim must be
+    128 (the Pallas append path's lane requirement) or this test would
+    silently exercise only the scatter fallback."""
+    cfg = LlamaConfig(
+        vocab_size=97, dim=256, n_layers=2, n_heads=2, n_kv_heads=1,
+        ffn_dim=128, max_seq_len=512,
+    )
+    params = init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    prompts = {
+        0: [(7 * i + 3) % cfg.vocab_size for i in range(45)],
+        1: [5, 9, 2, 33, 8, 1, 60, 4],
+    }
+    n_new = {0: 5, 1: 6}
+
+    outs = {}
+    for page in (16, 128):
+        ecfg = EngineConfig(
+            max_batch=2, page_size=page, num_pages=64 if page == 16 else 8,
+            max_seq=256, prefill_chunk=32 if page == 16 else 128,
+            kv_quant=kv_quant,
+        )
+        eng = DecodeEngine(params, cfg, ecfg, dtype=jnp.float32)
+        for rid, p in prompts.items():
+            eng.add_request(rid, p, n_new[rid])
+        outs[page] = eng.run()
+    for rid, p in prompts.items():
+        # page-16 (padded Pallas path) and page-128 (tight Pallas path)
+        # engines share per-token quant math -> identical streams
+        assert list(outs[16][rid]) == list(outs[128][rid]), rid
+        if kv_quant == "int8":
+            # int8 KV tracks full-precision greedy on this tiny model
+            # (fp8-E4M3's 3-bit mantissa legitimately diverges a few
+            # tokens in)
+            want = _naive_greedy(params, cfg, p, n_new[rid])
+            assert list(outs[16][rid]) == want, rid

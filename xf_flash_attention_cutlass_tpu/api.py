@@ -206,13 +206,17 @@ def flash_attn_varlen_func(
     results are always deterministic. With `return_attn_probs`, the
     non-paged entry serves the packed (h, total_q, total_k) S_dmask via
     `varlen_attn_probs` (the reference's varlen `return_softmax`,
-    export.cpp:669-937); the paged entry still returns None for it
-    (the reference's paged varlen path has no softmax return either).
+    export.cpp:669-937); the paged entry serves the same packed-key
+    convention via `varlen_paged_attn_probs` — an EXTENSION over the
+    reference, whose paged varlen path has no softmax return
+    (/root/reference/csrc/paged_attn.cpp:425 passes nullptr). The paged
+    S_dmask is debug-only: it needs concrete key lengths (no jit).
     """
     from xf_flash_attention_cutlass_tpu.ops.varlen import (
         flash_attn_varlen,
         flash_attn_varlen_paged,
         varlen_attn_probs,
+        varlen_paged_attn_probs,
     )
 
     del deterministic
@@ -233,9 +237,13 @@ def flash_attn_varlen_func(
             dropout_p=dropout_p, dropout_seed=dropout_seed,
         )
         if return_attn_probs:
-            # S_dmask is served only by the dense entry (attention_probs);
-            # varlen dropout is validated statistically (test_dropout.py)
-            return out, lse, None
+            s_dmask = varlen_paged_attn_probs(
+                q, k, lse, block_table, cu_seqlens_q, seqused_k,
+                causal=causal, window=window_size, softcap=softcap,
+                softmax_scale=softmax_scale, alibi_slopes=alibi_slopes,
+                dropout_p=dropout_p, dropout_seed=dropout_seed,
+            )
+            return out, lse, s_dmask
         return out
     out, lse = flash_attn_varlen(
         q,

@@ -40,6 +40,9 @@ from xf_flash_attention_cutlass_tpu.utils import cdiv, default_interpret
 
 logger = logging.getLogger(__name__)
 
+# geometries whose scatter-fallback warning already fired (warn once each)
+_warned_fallback: set = set()
+
 
 def _sublane_tile(dtype) -> int:
     if dtype in (jnp.int8, jnp.float8_e4m3fn, jnp.float8_e5m2):
@@ -269,6 +272,158 @@ def _prefill_append_kernel(
         c.wait()
 
 
+def _scale_write_kernel(cpg: int, has_layer: bool, *refs):
+    """Grid (b, n_pg/cpg): write cpg whole per-page scale planes, staged
+    in storage layout by the wrapper. Page j of this step's group goes to
+    physical page bt[ib, ppos[ib] + group*cpg + j] (ppos in LOGICAL page
+    units — padded small pages store one logical page per physical)."""
+    it = iter(refs)
+    bt_ref = next(it)  # (b, max_pages)
+    ppos_ref = next(it)  # (b,) logical-page insert offset
+    lidx_ref = next(it) if has_layer else None
+    ks_in = next(it)  # (1, cpg, h_k, sc) VMEM block
+    vs_in = next(it)
+    _ = next(it)  # k_scales (aliased, ANY)
+    _ = next(it)
+    ks_out = next(it)
+    vs_out = next(it)
+    sems = next(it)
+
+    ib = pl.program_id(0)
+    pg0 = ppos_ref[ib] + cpg * pl.program_id(1)
+    lead = (lidx_ref[0],) if has_layer else ()
+    copies = []
+    for j in range(cpg):
+        pe = bt_ref[ib, pg0 + j]
+        copies.append(
+            pltpu.make_async_copy(
+                ks_in.at[0, j], ks_out.at[(*lead, pe)], sems.at[j % 4]
+            )
+        )
+        copies.append(
+            pltpu.make_async_copy(
+                vs_in.at[0, j], vs_out.at[(*lead, pe)], sems.at[4 + j % 4]
+            )
+        )
+    for c in copies:
+        c.start()
+    for c in copies:
+        c.wait()
+
+
+def _prefill_append_padded(
+    k_pool, v_pool, k_new, v_new, block_tables, positions,
+    k_scales, v_scales, layer_idx, page: int, interpret: bool,
+):
+    """Pallas prefill append for PADDED small-page pools (round-4 verdict
+    #2): pools store `stored_page` rows per page but only `page` are live
+    (quantized page-16 geometries, ops/paged.py padded mode). The old path
+    fell back to the XLA scatter — a whole-pool copy per prefill chunk.
+
+    Strategy: re-express the append in STORAGE coordinates. Each logical
+    page's `page` tokens are padded to a full `stored_page`-row group in
+    XLA (O(chunk) work), positions are rescaled to storage offsets, and
+    the regular Pallas prefill path then writes whole page-sized windows
+    (w == sublane tile == stored_page for int8/fp8). Quantization happens
+    in XLA on the chunk stream (same quantize_kv math the in-kernel path
+    uses); scale planes are staged per page in storage layout — live
+    columns [0, page), 1.0 in the padded tail — and written whole by
+    `_scale_write_kernel`. Dead rows/columns quantize to 0 with scale 1.0,
+    exactly what the padded-mode attention kernel masks.
+
+    Contract (same class as the aligned-prefill contract above): every
+    positions[i] is a multiple of `page` and sq % page == 0 — the engine
+    prefills at chunk boundaries that page-divides (serve/engine.py
+    _bucket / prefill_chunk).
+    """
+    from xf_flash_attention_cutlass_tpu.quant.kv import quantize_kv
+
+    b, sq, h_k, d = k_new.shape
+    stored = k_pool.shape[-2]
+    qdt = k_pool.dtype
+    quant = k_scales is not None
+    n_pg = sq // page
+    pad = stored - page
+    has_layer = layer_idx is not None
+
+    if quant:
+        qname = "int8" if qdt == jnp.int8 else "fp8_e4m3"
+        kq, ksc = quantize_kv(k_new, qname)  # scales (b, sq, h_k, 1)
+        vq, vsc = quantize_kv(v_new, qname)
+        ksc, vsc = ksc[..., 0], vsc[..., 0]  # (b, sq, h_k)
+    else:
+        kq, vq = k_new.astype(qdt), v_new.astype(qdt)
+
+    def pad_vals(x):
+        x = x.reshape(b, n_pg, page, h_k, d)
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, pad), (0, 0), (0, 0)))
+        return x.reshape(b, n_pg * stored, h_k, d)
+
+    pos_store = (positions.astype(jnp.int32) // page) * stored
+    out = paged_append(
+        k_pool, v_pool, pad_vals(kq), pad_vals(vq), block_tables,
+        pos_store, layer_idx=layer_idx, page_size=stored,
+        interpret=interpret, mode="auto",
+    )
+    if not quant:
+        return out
+    k_pool, v_pool = out
+
+    sc = k_scales.shape[-1]
+
+    def stage_scales(s):  # (b, sq, h_k) -> (b, n_pg, h_k, sc)
+        s = s.reshape(b, n_pg, page, h_k)
+        s = jnp.pad(
+            s, ((0, 0), (0, 0), (0, sc - page), (0, 0)), constant_values=1.0
+        )
+        return s.swapaxes(2, 3)
+
+    ks_staged = stage_scales(ksc)
+    vs_staged = stage_scales(vsc)
+
+    cpg = n_pg
+    for c in (64, 32, 16, 8, 4, 2, 1):
+        if n_pg >= c and n_pg % c == 0:
+            cpg = c
+            break
+
+    scalars = [
+        block_tables.astype(jnp.int32),
+        (positions.astype(jnp.int32) // page),
+    ]
+    if has_layer:
+        scalars.append(jnp.asarray(layer_idx, jnp.int32).reshape(1))
+    blk = pl.BlockSpec((1, cpg, h_k, sc), lambda ib, i, *_: (ib, i, 0, 0))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=len(scalars),
+        grid=(b, n_pg // cpg),
+        in_specs=[
+            blk,
+            blk,
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        scratch_shapes=[pltpu.SemaphoreType.DMA((8,))],
+    )
+    ns = len(scalars)
+    k_scales, v_scales = pl.pallas_call(
+        functools.partial(_scale_write_kernel, cpg, has_layer),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct(k_scales.shape, jnp.float32),
+            jax.ShapeDtypeStruct(v_scales.shape, jnp.float32),
+        ],
+        input_output_aliases={ns + 2: 0, ns + 3: 1},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(*scalars, ks_staged, vs_staged, k_scales, v_scales)
+    return k_pool, v_pool, k_scales, v_scales
+
+
 def paged_append(
     k_pool: jax.Array,  # (num_pages, h_k, page, d) or (L, ...) w/ layer_idx
     v_pool: jax.Array,
@@ -313,6 +468,23 @@ def paged_append(
     ws = min(128, k_scales.shape[-1]) if quant else min(128, stored_page)
     prefill0 = sq > 1 and mode != "decode"
 
+    # Padded small-page pools (stored_page > page, quantized page-16
+    # geometries): prefill re-expressed in storage coordinates takes the
+    # Pallas path — whole-page value windows + whole scale planes, no
+    # pool copy (round-4 verdict #2; previously always the XLA scatter).
+    if (
+        prefill0
+        and page != stored_page
+        and sq % page == 0
+        and d % 128 == 0
+        and stored_page % _sublane_tile(qdt) == 0
+        and (not quant or (k_scales.shape[-1] % 128 == 0
+                           and k_scales.dtype == jnp.float32))
+    ):
+        return _prefill_append_padded(
+            k_pool, v_pool, k_new, v_new, block_tables, positions,
+            k_scales, v_scales, layer_idx, page, interpret,
+        )
     # Mosaic DMA windows must be tile-aligned: value windows need the kv
     # dtype's full sublane tile to divide the stored page (tight int8/fp8
     # pools below 32 rows cannot take the Pallas path), quant scale
@@ -331,7 +503,15 @@ def paged_append(
             append_kv_paged_quantized,
         )
 
-        logger.debug(
+        # warning (not debug): this silently changes the traffic class
+        # from KB-window DMAs to a whole-pool copy per call — same
+        # precedent as the varlen dense-gather fallback (round-4 verdict).
+        # Once per geometry so per-token decode loops don't spam.
+        geom = (d, stored_page, page, bool(quant))
+        lvl = logging.DEBUG if geom in _warned_fallback else logging.WARNING
+        _warned_fallback.add(geom)
+        logger.log(
+            lvl,
             "paged_append: geometry (d=%d, stored_page=%d, page=%d, "
             "quant=%s) falls back to the XLA scatter (pool copy per call)",
             d, stored_page, page, bool(quant),

@@ -403,3 +403,115 @@ def _varlen_paged_dense_fallback(
         dropout_p=dropout_p, dropout_seed=dropout_seed,
         block_q=None, block_k=None, interpret=interpret,
     )
+
+
+def varlen_paged_attn_probs(
+    q: jax.Array,  # (total_q, h, d) packed ragged queries
+    k_cache: jax.Array,  # (num_blocks, page, h_k, d) reference layout
+    lse: jax.Array,  # (h, total_q) from flash_attn_varlen_paged
+    block_table: jax.Array,  # (b, max_pages) int32
+    cu_seqlens_q: jax.Array,  # (b+1,) int32
+    seqused_k,  # (b,) int — CONCRETE lengths (debug path, no jit)
+    *,
+    causal: bool = False,
+    window: Tuple[int, int] = (-1, -1),
+    softcap: float = 0.0,
+    softmax_scale: Optional[float] = None,
+    alibi_slopes: Optional[jax.Array] = None,
+    dropout_p: float = 0.0,
+    dropout_seed: int = 0,
+    internal_layout: bool = False,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """S_dmask for the PAGED varlen entry (round-4 verdict #8) — the
+    (h, total_q, total_k) probability plane in the same packed-key
+    convention as `varlen_attn_probs`, where key column `cu_k[i] + j` is
+    cache position j of sequence i and cu_k = cumsum(seqused_k). The
+    reference's paged varlen path never returns softmax (paged_attn.cpp
+    passes nullptr), so this exceeds parity; shape conventions follow the
+    dense varlen S_dmask.
+
+    Debug-only semantics: key lengths must be CONCRETE (the packed
+    total_k is a real array dimension), so this cannot run under jit.
+    Probabilities are recomputed as exp(s - lse) on the densely gathered
+    key rectangle — identical values to the kernel's own pass. With
+    dropout_p > 0 the forward necessarily ran the dense-fallback packed
+    layout (the paged kernel is inference-only), and the mask is replayed
+    on that exact (total_q, b*max_pages*page) grid before the live
+    columns are gathered out, so dropped entries match the forward
+    bit-for-bit.
+    """
+    import numpy as np
+
+    total_q, h, d = q.shape
+    b, max_pages = block_table.shape
+    if internal_layout:
+        k_pool = k_cache
+        page = k_cache.shape[2]
+    else:
+        page = k_cache.shape[1]
+        k_pool = k_cache.transpose(0, 2, 1, 3)
+    h_k = k_pool.shape[1]
+    sk = max_pages * page
+
+    try:
+        lens = np.asarray(seqused_k, np.int64)
+    except Exception as e:  # abstract tracer
+        raise ValueError(
+            "varlen_paged_attn_probs needs concrete seqused_k (the packed "
+            "total_k becomes an array dimension) — call it outside jit"
+        ) from e
+    cu_k_np = np.zeros(b + 1, np.int64)
+    np.cumsum(lens, out=cu_k_np[1:])
+    total_k = int(cu_k_np[-1])
+    seqused_j = jnp.asarray(lens, jnp.int32)
+
+    # dense-gather the padded key rectangle — same layout (and therefore
+    # same dropout block counters) as _varlen_paged_dense_fallback
+    flat = block_table.astype(jnp.int32).reshape(-1)
+    kd = k_pool[flat].swapaxes(1, 2).reshape(b * sk, h_k, d)
+
+    cu_q = cu_seqlens_q.astype(jnp.int32)
+    qseg = segments_from_cu_seqlens(cu_q, total_q)
+    kidx = jnp.arange(b * sk, dtype=jnp.int32)
+    kbatch = kidx // sk
+    kwithin = kidx % sk
+    kseg = jnp.where(kwithin < seqused_j[kbatch], kbatch, -2)
+    kpos = jnp.where(kseg >= 0, kwithin, 2**30)
+
+    qidx = jnp.arange(total_q, dtype=jnp.int32)
+    len_q = cu_q[1:] - cu_q[:-1]
+    segc = jnp.clip(qseg, 0, None)
+    qpos = qidx - cu_q[segc] + seqused_j[segc] - len_q[segc]
+    qpos = jnp.where(qseg >= 0, qpos, -(2**30)).astype(jnp.int32)
+
+    alibi_row_slopes = None
+    if alibi_slopes is not None:
+        alibi_slopes = jnp.asarray(alibi_slopes, jnp.float32)
+        if alibi_slopes.ndim == 2:
+            alibi_row_slopes = _row_slopes_from_segments(alibi_slopes, qseg)
+            alibi_slopes = None
+
+    from xf_flash_attention_cutlass_tpu.ops.flash_fwd import attention_probs
+
+    probs_pad = attention_probs(
+        q.swapaxes(0, 1)[None],
+        kd.swapaxes(0, 1)[None],
+        lse[None],
+        causal=causal, window=window, softcap=softcap,
+        softmax_scale=softmax_scale, alibi_slopes=alibi_slopes,
+        alibi_row_slopes=alibi_row_slopes,
+        q_segment_ids=qseg[None], kv_segment_ids=kseg[None],
+        q_positions=qpos[None], kv_positions=kpos[None],
+        dropout_p=dropout_p, dropout_seed=dropout_seed,
+        interpret=interpret,
+    )[0]  # (h, total_q, b*sk)
+
+    # gather the live packed columns: packed col cu_k[i]+j <- padded i*sk+j
+    pseg = segments_from_cu_seqlens(jnp.asarray(cu_k_np, jnp.int32), total_k)
+    psegc = jnp.clip(pseg, 0, None)
+    within = jnp.arange(total_k, dtype=jnp.int32) - jnp.asarray(
+        cu_k_np[:-1], jnp.int32
+    )[psegc]
+    cols = psegc * sk + within
+    return probs_pad[:, :, cols]

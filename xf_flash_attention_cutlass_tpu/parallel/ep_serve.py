@@ -111,6 +111,7 @@ def ep_decode_step(
     sample_key: Optional[jax.Array] = None,
     top_k: int = 0,
     top_p: float = 0.0,
+    approx_top_k: bool = True,  # engine.sample_tokens approx_max_k trade
 ):
     """One expert-parallel MoE decode step. Returns (next_tokens, logits,
     pools), batch-sharded, pools still sharded. Token-identical to the
@@ -139,7 +140,7 @@ def ep_decode_step(
             cfg=lcfg, quant=quant, interpret=interpret,
             axis_name=TP if tp_size > 1 else None, ep_axis=EP,
             temperature=temperature, sample_key=sample_key,
-            top_k=top_k, top_p=top_p,
+            top_k=top_k, top_p=top_p, approx_top_k=approx_top_k,
         )
 
     fn = jax.shard_map(

@@ -101,6 +101,7 @@ def tp_decode_step(
     sample_key=None,  # PRNGKey replicated (same on every device)
     top_k: int = 0,
     top_p: float = 0.0,
+    approx_top_k: bool = True,  # engine.sample_tokens approx_max_k trade
     sp_batch: bool = False,  # reduce-scatter + all-gather per layer instead
     # of psums: the residual stream stays batch-sharded between sharded
     # regions so the collectives can overlap norms/matmuls over ICI
@@ -137,7 +138,8 @@ def tp_decode_step(
             ep_axis=EP if ep_axis else None,
             page_size=page_size,
             temperature=temperature, sample_key=sample_key,
-            top_k=top_k, top_p=top_p, sp_batch=sp_batch,
+            top_k=top_k, top_p=top_p, approx_top_k=approx_top_k,
+            sp_batch=sp_batch,
         )
 
     fn = jax.shard_map(
@@ -242,8 +244,8 @@ def tp_prefill_chunk_step(
 tp_decode_step_jit = functools.partial(
     jax.jit,
     static_argnames=(
-        "cfg", "mesh", "quant", "interpret", "top_k", "top_p", "sp_batch",
-        "dp_axis", "ep_axis", "page_size",
+        "cfg", "mesh", "quant", "interpret", "top_k", "top_p",
+        "approx_top_k", "sp_batch", "dp_axis", "ep_axis", "page_size",
     ),
     donate_argnames=("pools",),
 )(tp_decode_step)

@@ -94,7 +94,13 @@ def ulysses_attention(
         # every kv head, gather the sequence axis, select this device's
         # heads (global q head i*h/n + j pairs with kv head
         # (i*h/n + j)//(h/h_k))
-        logger.debug(
+        # warning when this is a real degradation (GQA heads that don't
+        # divide the axis) — silent traffic-class change, same precedent
+        # as the varlen dense-gather fallback. MQA (h_k == 1) stays at
+        # debug: there the gather moves the same bytes as the grouped a2a.
+        lvl = logging.DEBUG if h_k == 1 else logging.WARNING
+        logger.log(
+            lvl,
             "ulysses_attention: h_k=%d vs axis size %d takes the full-KV "
             "all-gather (O(h_k*s*d) per-device traffic)", h_k, n,
         )

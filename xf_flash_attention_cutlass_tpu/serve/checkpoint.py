@@ -77,9 +77,16 @@ def save_engine(engine, path: str, include_params: bool = False) -> None:
         step_count=engine._step_count,
         trash_page=engine.trash_page,
         include_params=include_params,
+        # engines may hold weight-quantized params ((w_q, scale) tuple
+        # leaves, models/llama.quantize_params) — the restore-side treedef
+        # must be rebuilt from a matching quantized template
+        params_quantized=isinstance(engine.params["layers"]["wq"], tuple),
         prefixes=engine._prefixes,
         slot_prefix={str(k): v for k, v in engine._slot_prefix.items()},
         prefills=engine._prefills,
+        preempt_emitted={
+            str(k): v for k, v in engine._preempt_emitted.items()
+        },
     )
     payload = dict(
         state=np.frombuffer(json.dumps(state).encode(), np.uint8),
@@ -142,14 +149,31 @@ def load_engine(
             if type(cfg).__name__ == "MoEConfig":
                 from xf_flash_attention_cutlass_tpu.models.moe import (
                     init_moe_params as init_params,
+                    quantize_moe_params as quantize_fn,
                 )
             else:
                 from xf_flash_attention_cutlass_tpu.models.llama import (
                     init_params,
+                    quantize_params as quantize_fn,
                 )
 
-            template = init_params(jax.random.PRNGKey(0), cfg)
+            # eval_shape: treedefs only, no weight init/quant compute
+            template = jax.eval_shape(
+                lambda: init_params(jax.random.PRNGKey(0), cfg)
+            )
+            if state.get("params_quantized", False):
+                # match the saved (w_q, scale)-tuple leaf structure
+                template = jax.eval_shape(quantize_fn, template)
             treedef = jax.tree.structure(template)
+            if treedef.num_leaves != len(keys):
+                raise ValueError(
+                    f"checkpoint has {len(keys)} param leaves but the "
+                    f"{type(cfg).__name__} template has "
+                    f"{treedef.num_leaves} (params_quantized="
+                    f"{state.get('params_quantized', 'unrecorded')}); "
+                    "the checkpoint was saved with a different param "
+                    "structure than this config rebuilds"
+                )
             params = _unpack(
                 {f"leaf_{i}": z[k] for i, k in enumerate(keys)},
                 params_spec,
@@ -191,6 +215,9 @@ def load_engine(
                 pf["n_pages"] = len(pf["pages_by_replica"][0])
         engine._slot_prefix = {
             int(k): v for k, v in state.get("slot_prefix", {}).items()
+        }
+        engine._preempt_emitted = {
+            int(k): v for k, v in state.get("preempt_emitted", {}).items()
         }
         saved = state.get("prefills")
         if saved is None:  # pre-lane checkpoints stored a single slot

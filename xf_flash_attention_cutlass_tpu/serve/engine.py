@@ -71,10 +71,22 @@ class EngineConfig:
     top_k: int = 0
     top_p: float = 0.0
     sample_seed: int = 0
+    # top-k/top-p truncation via jax.lax.approx_max_k (39us vs 1.0ms exact
+    # at V=128k b=64, recall ~0.95 — the standard TPU serving trade).
+    # False restores exact lax.top_k / full-vocab top-p semantics.
+    approx_top_k: bool = True
 
     @property
     def max_pages_per_seq(self) -> int:
         return cdiv(self.max_seq, self.page_size)
+
+
+# candidate-prefix width for the pure top-p fast path (sample_tokens):
+# big enough that any p<=0.9 nucleus at serving temperatures fits, small
+# enough that approx_max_k stays cheap — its cost is ~linear in k on v5e
+# (V=128k b=64: 63/117/259us at k=64/128/256; full fast path 128us at
+# prefix 128 vs 276us at 256, round-5 probe)
+_TOP_P_PREFIX_K = 128
 
 
 def sample_tokens(
@@ -101,8 +113,15 @@ def sample_tokens(
     either way). The round-3 full-vocab mask + scatter formulation
     measured 2.2-9.2ms/step at V=128k — 1.4-6x the ENTIRE 32-layer 8B
     attention budget (round-4 verdict #6, benchmarks/RESULTS_r4.md).
-    Pure top-p (top_k=0) still pays the full-vocab argsort (148ms at
-    128k!) — always set top_k alongside top_p at large vocabs.
+
+    Pure top-p (top_k=0, top_p>0) with ``approx_top_k=True`` routes
+    through an approx_max_k prefix of ``_TOP_P_PREFIX_K`` (128)
+    candidates (128us/step at V=128k b=64 on v5e) — the nucleus is
+    computed within that renormalized prefix, which is exact whenever
+    the true nucleus fits in the prefix (p<=0.9 nuclei at temperature
+    ~1 are far smaller in practice) and bounded-recall otherwise.
+    ``approx_top_k=False`` restores the exact full-vocab argsort
+    formulation (148ms at V=128k — debug/CPU only).
     """
     greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     if temperature is None:
@@ -120,6 +139,21 @@ def sample_tokens(
             # keep tokens whose cumulative prob up to AND INCLUDING them
             # first reaches p (the top token always survives)
             vals = jnp.where(cum - probs >= top_p, -jnp.inf, vals)
+        pos = jax.random.categorical(key, vals, axis=-1)
+        sampled = jnp.take_along_axis(
+            idx, pos[:, None], axis=-1
+        )[:, 0].astype(jnp.int32)
+        return jnp.where(t > 0.0, sampled, greedy)
+    if top_p and top_p > 0.0 and approx_top_k:
+        # pure top-p fast path (round-4 verdict #5): nucleus within an
+        # approx_max_k prefix instead of the 148ms full-vocab argsort.
+        # Exact whenever the true nucleus fits in the prefix (recall
+        # caveats as for top-k above); approx_top_k=False opts out.
+        kpfx = min(_TOP_P_PREFIX_K, logits.shape[-1])
+        vals, idx = jax.lax.approx_max_k(scaled, kpfx)
+        probs = jax.nn.softmax(vals, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        vals = jnp.where(cum - probs >= top_p, -jnp.inf, vals)
         pos = jax.random.categorical(key, vals, axis=-1)
         sampled = jnp.take_along_axis(
             idx, pos[:, None], axis=-1
@@ -205,6 +239,7 @@ def decode_core(
     sample_key: Optional[jax.Array] = None,  # PRNGKey (replicated under TP)
     top_k: int = 0,
     top_p: float = 0.0,
+    approx_top_k: bool = True,  # sample_tokens approx_max_k trade
     sp_batch: bool = False,  # RS+AG collective structure (see verify_core)
 ):
     """One batched decode step = the L=1 case of verify_core, plus
@@ -223,7 +258,8 @@ def decode_core(
     )
     logits = logits[:, 0]
     next_tokens = sample_tokens(
-        logits, temperature, sample_key, top_k=top_k, top_p=top_p
+        logits, temperature, sample_key, top_k=top_k, top_p=top_p,
+        approx_top_k=approx_top_k,
     )
     return next_tokens, logits, pools
 
@@ -231,7 +267,7 @@ def decode_core(
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "quant", "interpret", "top_k", "top_p",
-                     "page_size"),
+                     "approx_top_k", "page_size"),
     donate_argnames=("pools",),  # in-place KV scatter: without donation the
     # whole pool is copied every step (measured 15x decode slowdown)
 )
@@ -242,13 +278,14 @@ def decode_step(
     temperature: Optional[jax.Array] = None,
     sample_key: Optional[jax.Array] = None,
     top_k: int = 0, top_p: float = 0.0,
+    approx_top_k: bool = True,
     page_size: Optional[int] = None,
 ):
     return decode_core(
         params, tokens, pools, block_tables, kv_lens, cfg, quant, interpret,
         page_size=page_size,
         temperature=temperature, sample_key=sample_key,
-        top_k=top_k, top_p=top_p,
+        top_k=top_k, top_p=top_p, approx_top_k=approx_top_k,
     )
 
 
@@ -675,7 +712,7 @@ class DecodeEngine:
             )
         if self.ep > 1 and cfg.n_experts % self.ep:
             raise ValueError(
-                f"n_experts {cfg.n_experts} must divide ep={self.ep}"
+                f"n_experts {cfg.n_experts} must be divisible by ep={self.ep}"
             )
         # Host-side bookkeeping treats every (dp, ep) pair as one replica:
         # an ep shard IS a dp replica for all non-expert tensors — it owns
@@ -719,6 +756,22 @@ class DecodeEngine:
         )
         self.trash_page = num_pages_local
         if ecfg.kv_quant:
+            if (
+                ecfg.prefill_chunk
+                and ecfg.page_size % 128 == 0
+                and ecfg.prefill_chunk % 128
+            ):
+                # tight quantized pools: the Pallas prefill append writes
+                # 128-lane scale windows at chunk offsets — misaligned
+                # offsets would write scales to the WRONG columns
+                # (silently wrong tokens, found in round 5). Small padded
+                # pages route by page alignment and fall back safely.
+                raise ValueError(
+                    f"kv_quant with page_size={ecfg.page_size} needs "
+                    f"prefill_chunk to be a multiple of 128 (got "
+                    f"{ecfg.prefill_chunk}): quantized prefill appends "
+                    "write 128-lane-aligned scale windows"
+                )
             # stored layout (ops/paged.py padded-column mode): value rows
             # padded to the int8/fp8 DMA sublane tile (32), scale-plane
             # lanes to 128, so small pages (the reference's block-16
@@ -730,17 +783,27 @@ class DecodeEngine:
             vshape = shape[:-2] + (dma_rows, cfg.head_dim)
             sshape = shape[:-2] + (scale_lanes,)
             if ecfg.page_size % 128:
-                # Pallas decode append + attention run on the padded
-                # layout; PREFILL appends still scatter-fallback (whole-
-                # window writes cannot span padded pages) — a pool copy
-                # per prefill chunk. Production quantized serving wants
-                # page_size a multiple of 128 (256 measured best).
-                logger.warning(
+                # Decode AND prefill appends are Pallas-pathed on the
+                # padded layout (prefill via storage-coordinate page
+                # groups, ops/paged_append._prefill_append_padded) as
+                # long as chunk/bucket offsets page-align; the remaining
+                # cost is the padded-pool byte tax (see RESULTS_r4).
+                if ecfg.prefill_chunk and (
+                    ecfg.prefill_chunk % ecfg.page_size
+                ):
+                    logger.warning(
+                        "prefill_chunk=%d is not a multiple of "
+                        "page_size=%d: quantized small-page prefill "
+                        "appends lose the Pallas path and scatter a "
+                        "pool copy per chunk — align prefill_chunk to "
+                        "the page size",
+                        ecfg.prefill_chunk, ecfg.page_size,
+                    )
+                logger.info(
                     "quantized KV with page_size=%d (not a multiple of "
-                    "128) stores padded pools (%d rows, %d scale lanes); "
-                    "decode is Pallas-pathed but prefill appends pay a "
-                    "scatter pool-copy — use page_size=256 for "
-                    "production throughput",
+                    "128) stores padded pools (%d rows, %d scale "
+                    "lanes) — a ~2x HBM byte tax on decode reads; use "
+                    "page_size=256 for production throughput",
                     ecfg.page_size, dma_rows, scale_lanes,
                 )
             vdt = jnp.int8 if ecfg.kv_quant == "int8" else jnp.float8_e4m3fn
@@ -814,6 +877,12 @@ class DecodeEngine:
         # remainder); slot -> prefix_id for live requests
         self._prefixes: Dict[str, dict] = {}
         self._slot_prefix: Dict[int, str] = {}
+        # tokens already emitted by requests that were later preempted:
+        # a preempted request requeues with prompt+generated (its context)
+        # and a remaining-token budget, so at finish its final `generated`
+        # holds only the post-resume tokens — results must prepend these
+        # (kept per-request-id; multi-preemption accumulates in order)
+        self._preempt_emitted: Dict[int, List[int]] = {}
         # serving observability (SURVEY §5: the reference has none; a
         # production engine needs at least these counters)
         self.stats: Dict[str, int] = dict(
@@ -990,6 +1059,7 @@ class DecodeEngine:
                 cfg=self.cfg, mesh=self.mesh, quant=self.ecfg.kv_quant,
                 interpret=self.interpret, temperature=temps, sample_key=key,
                 top_k=self.ecfg.top_k, top_p=self.ecfg.top_p,
+                approx_top_k=self.ecfg.approx_top_k,
                 dp_axis=self.dp > 1, ep_axis=self.ep > 1, sp_batch=True,
                 page_size=self.ecfg.page_size,
             )
@@ -1152,6 +1222,7 @@ class DecodeEngine:
                         key,
                         top_k=self.ecfg.top_k,
                         top_p=self.ecfg.top_p,
+                        approx_top_k=self.ecfg.approx_top_k,
                     )[0]
                 )
             self.active[st["slot"]] = dict(
@@ -1201,6 +1272,7 @@ class DecodeEngine:
                 key,
                 top_k=self.ecfg.top_k,
                 top_p=self.ecfg.top_p,
+                approx_top_k=self.ecfg.approx_top_k,
             )[0]
         self.active[slot] = dict(
             id=rid,
@@ -1246,7 +1318,9 @@ class DecodeEngine:
                 and st["generated"][-1] == self.ecfg.eos_token
             )
             if done:
-                self.results[st["id"]] = st["generated"]
+                self.results[st["id"]] = (
+                    self._preempt_emitted.pop(st["id"], []) + st["generated"]
+                )
                 self.pool.retire(slot)
                 self._slot_prefix.pop(slot, None)
                 del self.active[slot]
@@ -1274,6 +1348,9 @@ class DecodeEngine:
                 self.pool.retire(slot)
                 self._slot_prefix.pop(slot, None)
                 remaining = st["max_new"] - len(st["generated"])
+                self._preempt_emitted[st["id"]] = (
+                    self._preempt_emitted.get(st["id"], []) + st["generated"]
+                )
                 self.queue.appendleft(
                     (st["id"], st["prompt"] + st["generated"], remaining,
                      st["temperature"], st.get("prefix_id"))
@@ -1304,6 +1381,7 @@ class DecodeEngine:
                 sample_key=jax.random.fold_in(self._sample_base, self._step_count),
                 top_k=self.ecfg.top_k,
                 top_p=self.ecfg.top_p,
+                approx_top_k=self.ecfg.approx_top_k,
             )
         next_tokens, _, self.pools = self._run_decode(
             jnp.asarray(tokens), jnp.asarray(bt), jnp.asarray(kv_lens),
@@ -1331,6 +1409,9 @@ class DecodeEngine:
                 self.pool.retire(slot)
                 self._slot_prefix.pop(slot, None)
                 remaining = st["max_new"] - len(st["generated"])
+                self._preempt_emitted[st["id"]] = (
+                    self._preempt_emitted.get(st["id"], []) + st["generated"]
+                )
                 self.queue.appendleft(
                     (st["id"], st["prompt"] + st["generated"], remaining,
                      st["temperature"], st.get("prefix_id"))
