@@ -1,0 +1,248 @@
+"""BASELINE config 3 measured END-TO-END (round-4 verdict #1): continuous
+batching of 64 mixed-length requests through DecodeEngine.step() — real
+arrivals over time, chunked prefill interleaved with decode, sampling on
+(t=0.8 / top_k=40 / top_p=0.9), preemptions forced by a tight page budget.
+
+Geometry: the 8B-class layer (dim 4096, 32 q / 8 kv heads, ffn 14336,
+vocab 8192 to bound lm_head) at a 4-layer slice — the same slice every
+engine row in bench_suite uses, so the component model assembled from
+those rows predicts THIS workload and the residual isolates what only an
+end-to-end run can show: prefill chunks stealing decode steps, host
+bookkeeping, and (this harness only) the axon-tunnel dispatch tax, which
+a production host would not pay. The tax is measured directly by a
+null-dispatch probe and subtracted into its own line.
+
+Reports: aggregate tok/s (wall and tunnel-corrected), TTFT distribution,
+tokens/step, preemption/page stats, and the component-model prediction
+with the gap decomposed. Run: python benchmarks/bench_engine_cb.py
+"""
+import sys
+
+sys.path.insert(0, "/root/repo")  # noqa: E402
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from xf_flash_attention_cutlass_tpu.models.llama import (
+    LlamaConfig, init_params, quantize_params,
+)
+from xf_flash_attention_cutlass_tpu.serve import DecodeEngine, EngineConfig
+from xf_flash_attention_cutlass_tpu.utils.profiling import timed_scan
+
+N_LAYERS = 4
+N_REQS = 64
+
+
+def build_engine(num_pages, max_batch=64):
+    cfg = LlamaConfig(
+        vocab_size=8192, dim=4096, n_layers=N_LAYERS, n_heads=32,
+        n_kv_heads=8, ffn_dim=14336, max_seq_len=4096,
+    )
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        params = init_params(jax.random.PRNGKey(0), cfg)
+        params = quantize_params(params)
+    tpu = jax.devices()[0]
+    params = jax.tree_util.tree_map(lambda x: jax.device_put(x, tpu), params)
+    ecfg = EngineConfig(
+        max_batch=max_batch, page_size=256, num_pages=num_pages,
+        max_seq=4096, kv_quant="int8", prefill_chunk=512, prefill_lanes=4,
+        top_k=40, top_p=0.9, sample_seed=7,
+    )
+    return DecodeEngine(params, cfg, ecfg), cfg, ecfg
+
+
+def workload(seed=0):
+    """64 mixed requests: prompt lengths lognormal-ish 64..1536, outputs
+    32..192, arriving in bursts (16 at t=0, then 6 every 10 steps)."""
+    rng = np.random.default_rng(seed)
+    reqs = []
+    for rid in range(N_REQS):
+        plen = int(np.clip(rng.lognormal(6.0, 0.7), 64, 1536))
+        nout = int(rng.integers(32, 192))
+        prompt = rng.integers(0, 8192, plen).astype(int).tolist()
+        reqs.append((rid, prompt, nout))
+    arrivals = {0: reqs[:16]}
+    k = 16
+    step = 10
+    while k < N_REQS:
+        arrivals[step] = reqs[k : k + 6]
+        k += 6
+        step += 10
+    return reqs, arrivals
+
+
+def null_dispatch_tax(n=200):
+    """Per-iteration cost of the harness's dispatch+fetch pattern with a
+    trivial device op — the axon-tunnel floor an engine host loop pays
+    per step here but not in production."""
+    x = jnp.zeros((8,), jnp.float32)
+
+    @jax.jit
+    def f(x):
+        return x + 1.0
+
+    f(x)  # compile
+    t0 = time.perf_counter()
+    for _ in range(n):
+        x = f(x)
+        _ = np.asarray(x)  # host fetch, same as engine token readback
+    return (time.perf_counter() - t0) / n
+
+
+def main():
+    print("devices:", jax.devices(), flush=True)
+    reqs, arrivals = workload()
+    total_new = sum(r[2] for r in reqs)
+    total_prompt = sum(len(r[1]) for r in reqs)
+    print(f"workload: {N_REQS} reqs, {total_prompt} prompt tokens, "
+          f"{total_new} output tokens", flush=True)
+
+    # page budget: worst-case concurrent need is max_batch live requests;
+    # cap pages at ~55% of the full-workload footprint so the run sustains
+    # high utilization and forces some preemptions without thrashing
+    full_pages = sum((len(p) + n + 255) // 256 for _, p, n in reqs)
+    num_pages = int(full_pages * 0.55)
+    eng, cfg, ecfg = build_engine(num_pages)
+    print(f"pages: {num_pages} (full footprint {full_pages})", flush=True)
+
+    # ---- end-to-end host loop ----
+    t_first: dict = {}
+    t_arr: dict = {}
+    t0 = time.perf_counter()
+    step_i = 0
+    while len(eng.results) < N_REQS and step_i < 20000:
+        for rid, prompt, nout in arrivals.get(step_i, []):
+            eng.add_request(rid, prompt, nout, temperature=0.8)
+            t_arr[rid] = time.perf_counter()
+        busy = (eng.queue or eng.active
+                or any(s is not None for s in eng._prefills))
+        if busy:
+            emitted = eng.step()
+            now = time.perf_counter()
+            # the FIRST token of a request is emitted at prefill
+            # completion (it enters eng.active with generated=[first]) —
+            # the step() emitted dict only carries decode tokens
+            for st in eng.active.values():
+                rid = st["id"]
+                if rid not in t_first:
+                    t_first[rid] = (now - t_arr[rid], step_i)
+            for rid in emitted:
+                if rid not in t_first:
+                    t_first[rid] = (now - t_arr[rid], step_i)
+        step_i += 1
+    wall = time.perf_counter() - t0
+    assert len(eng.results) == N_REQS, (len(eng.results), step_i)
+    got = sum(len(v) for v in eng.results.values())
+    stats = eng.stats_summary()
+    print(f"\nend-to-end: {wall:.2f}s wall, {step_i} host steps, "
+          f"{got} tokens -> {got / wall:.0f} tok/s (uncorrected)",
+          flush=True)
+    ttfts = sorted(v[0] for v in t_first.values())
+    p50 = ttfts[len(ttfts) // 2]
+    p95 = ttfts[int(len(ttfts) * 0.95)]
+    print(f"TTFT: p50 {p50*1e3:.0f}ms  p95 {p95*1e3:.0f}ms  "
+          f"max {ttfts[-1]*1e3:.0f}ms", flush=True)
+    print("stats:", {k: round(v, 3) if isinstance(v, float) else v
+                     for k, v in stats.items()}, flush=True)
+
+    # ---- tunnel dispatch tax ----
+    tax = null_dispatch_tax()
+    # one jitted call + token fetch per decode step / prefill chunk /
+    # spec step, plus one per-request sampling dispatch at admission
+    n_dispatch = (stats["decode_steps"] + stats["prefill_chunks"]
+                  + stats["spec_steps"] + stats["requests_admitted"])
+    corrected = wall - tax * n_dispatch
+    print(f"\ntunnel null-dispatch tax: {tax*1e3:.2f}ms/step x "
+          f"{n_dispatch} dispatches = {tax*n_dispatch:.2f}s", flush=True)
+    print(f"corrected: {corrected:.2f}s -> {got / corrected:.0f} tok/s",
+          flush=True)
+
+    # ---- component model from in-process steady-state rows ----
+    # decode step at B=64 (same jitted fns the engine used; pools already
+    # shaped) — measure with timed_scan on a standalone replica
+    from xf_flash_attention_cutlass_tpu.serve.engine import decode_core
+
+    B, page, mp = 64, 256, 8
+    np_pages = B * mp + 1
+    shape = (N_LAYERS, np_pages, cfg.n_kv_heads, page, cfg.head_dim)
+    pools = dict(
+        k=jnp.zeros(shape, jnp.int8), v=jnp.zeros(shape, jnp.int8),
+        k_s=jnp.ones(shape[:-1], jnp.float32),
+        v_s=jnp.ones(shape[:-1], jnp.float32),
+    )
+    bt = jnp.arange(B * mp, dtype=jnp.int32).reshape(B, mp)
+    kv_lens = jnp.full((B,), 900, jnp.int32)
+    tokens = jnp.zeros((B, 1), jnp.int32)
+    temps = jnp.full((B,), 0.8, jnp.float32)
+    key = jax.random.PRNGKey(3)
+
+    def dstep(carry, params, bt, kv_lens):
+        t, pools = carry
+        nt, _, pools = decode_core(
+            params, t, pools, bt, kv_lens, cfg, "int8",
+            temperature=temps, sample_key=key, top_k=40, top_p=0.9,
+        )
+        return (nt[:, None].astype(jnp.int32), pools)
+
+    t_dec = timed_scan(dstep, (tokens, pools), eng._decode_params, bt,
+                       kv_lens)
+    print(f"\ncomponent decode step (B=64 @900ctx, sampled): "
+          f"{t_dec*1e6:.0f}us", flush=True)
+
+    from xf_flash_attention_cutlass_tpu.serve.engine import prefill_chunk_core
+
+    P, C = 4, 512
+    ptokens = jnp.zeros((P, C), jnp.int32)
+    n_prior = jnp.zeros((P,), jnp.int32)
+    n_valid = jnp.full((P,), C, jnp.int32)
+    pbt = jnp.arange(P * mp, dtype=jnp.int32).reshape(P, mp)
+
+    def pstep(carry, params, ptokens, n_prior, n_valid, pbt):
+        pools = carry
+        _, pools = prefill_chunk_core(
+            params, ptokens, n_prior, n_valid, pools, pbt, cfg, "int8",
+        )
+        return pools
+
+    pools2 = dict(
+        k=jnp.zeros(shape, jnp.int8), v=jnp.zeros(shape, jnp.int8),
+        k_s=jnp.ones(shape[:-1], jnp.float32),
+        v_s=jnp.ones(shape[:-1], jnp.float32),
+    )
+    t_pf = timed_scan(pstep, pools2, eng._decode_params, ptokens, n_prior,
+                      n_valid, pbt)
+    print(f"component prefill chunk (P=4 x 512): {t_pf*1e6:.0f}us "
+          f"({P*C/t_pf/1e3:.1f}k tok/s)", flush=True)
+
+    model_s = (stats["decode_steps"] * t_dec
+               + stats["prefill_chunks"] * t_pf)
+    print(f"\ncomponent model: {stats['decode_steps']} decode x "
+          f"{t_dec*1e6:.0f}us + {stats['prefill_chunks']} chunks x "
+          f"{t_pf*1e6:.0f}us = {model_s:.2f}s "
+          f"-> {got / model_s:.0f} tok/s", flush=True)
+    gap = corrected - model_s
+    print(f"gap (corrected wall - model): {gap:.2f}s "
+          f"({gap / corrected * 100:.0f}% of corrected wall) = host "
+          f"bookkeeping + batch-occupancy below 64 + step-shape variance",
+          flush=True)
+    line = {
+        "metric": "engine_cb_tok_s_corrected",
+        "value": round(got / corrected, 1),
+        "unit": "tok/s",
+        "model_tok_s": round(got / model_s, 1),
+        "uncorrected_tok_s": round(got / wall, 1),
+        "ttft_p50_ms": round(p50 * 1e3, 1),
+        "ttft_p95_ms": round(p95 * 1e3, 1),
+        "preemptions": stats["preemptions"],
+        "tokens_per_step": round(stats["tokens_per_step"], 2),
+    }
+    import json
+
+    print(json.dumps(line), flush=True)
+
+
+if __name__ == "__main__":
+    main()

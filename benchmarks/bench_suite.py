@@ -453,6 +453,14 @@ if __name__ == "__main__":
     bench_paged("bf16", page=16, max_seq=1024, b=32)
     bench_paged("fp8_e4m3", page=16, max_seq=1024, b=32)
     bench_paged("int8", page=16, max_seq=1024, b=32)
+    # page-32 tight = the engine's PAIR-PACKED serving layout for
+    # sub-tile quantized pages (round-5 probe_pair_pack.py, 2x the
+    # padded rows above; EngineConfig.pack_small_pages default)
+    bench_paged("fp8_e4m3", page=32, max_seq=1024, b=32)
+    bench_paged("int8", page=32, max_seq=1024, b=32)
+    # short-work floor row (round-5 probe_paged_short.py: pinned at
+    # t = 2.8us intercept + bytes/784GB/s — expect ~0.84, not a defect)
+    bench_paged("fp8_e4m3", b=1, max_seq=8192, full_len=True)
     # long-context stress (round-3 verdict #8): one request, hundreds of
     # pages per table — exercises int32 offset math + SMEM table sizing
     bench_paged("fp8_e4m3", b=1, max_seq=65536, full_len=True)

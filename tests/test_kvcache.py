@@ -616,3 +616,53 @@ def test_paged_append_prefill_padded_small_page():
         assert np.all(oksn[1][touched][:, :, page:] == 1.0), qname
         assert np.array_equal(oksn[1][~touched], rksn[1][~touched]), qname
         assert np.array_equal(oksn[0], np.asarray(ks)[0]), qname  # other layer
+
+
+def test_paged_append_prefill_tight_wide_scales():
+    """TIGHT quant pools at page 32/64 carry 128-lane-padded scale planes
+    (engine layout): the old in-kernel prefill scale windows spanned
+    several pages but wrote into ONE page's plane — silent corruption
+    (round-5 finding). The storage-coordinate path must match the scatter
+    oracle on live scales, including multi-chunk appends."""
+    from xf_flash_attention_cutlass_tpu.ops.kvcache import (
+        append_kv_paged_quantized,
+    )
+    from xf_flash_attention_cutlass_tpu.ops.paged_append import paged_append
+
+    rng = np.random.default_rng(11)
+    for page in (32, 64):
+        nb, hk, d, sc = 100, 2, 128, 128
+        b, sq = 2, 1024  # > 512 -> chunked over the grid
+        kp = jnp.asarray(rng.integers(-90, 90, (nb, hk, page, d)), jnp.int8)
+        vp = jnp.asarray(rng.integers(-90, 90, (nb, hk, page, d)), jnp.int8)
+        ks = jnp.asarray(rng.random((nb, hk, sc)), jnp.float32)
+        vs = jnp.asarray(rng.random((nb, hk, sc)), jnp.float32)
+        per = 1536 // page
+        bt = jnp.asarray(
+            rng.permutation(nb)[: b * per].reshape(b, per), jnp.int32
+        )
+        kn = jnp.asarray(rng.standard_normal((b, sq, hk, d)), jnp.float32)
+        vn = jnp.asarray(rng.standard_normal((b, sq, hk, d)), jnp.float32)
+        pos = jnp.asarray([page, 0], jnp.int32)
+
+        rk, rks, rv, rvs = append_kv_paged_quantized(
+            kp, ks, vp, vs, kn, vn, bt, pos, page_size=page
+        )
+        ok, ov, oks, ovs = paged_append(
+            kp.copy(), vp.copy(), kn, vn, bt, pos,
+            k_scales=ks.copy(), v_scales=vs.copy(), page_size=page,
+        )
+        assert np.array_equal(
+            np.asarray(ok, np.int32), np.asarray(rk, np.int32)
+        ), page
+        assert np.array_equal(
+            np.asarray(ov, np.int32), np.asarray(rv, np.int32)
+        ), page
+        assert np.allclose(
+            np.asarray(oks)[..., :page], np.asarray(rks)[..., :page],
+            atol=1e-6,
+        ), page
+        assert np.allclose(
+            np.asarray(ovs)[..., :page], np.asarray(rvs)[..., :page],
+            atol=1e-6,
+        ), page

@@ -635,23 +635,32 @@ def test_engine_chunked_prefill_quant_small_page(kv_quant):
     n_new = {0: 5, 1: 6}
 
     outs = {}
-    for page in (16, 128):
-        ecfg = EngineConfig(
-            max_batch=2, page_size=page, num_pages=64 if page == 16 else 8,
-            max_seq=256, prefill_chunk=32 if page == 16 else 128,
-            kv_quant=kv_quant,
-        )
+    # "padded": literal page-16 padded pools (pack_small_pages=False) —
+    # exercises the engine-level padded Pallas prefill append;
+    # "packed": page-16 served pair-packed as 32-row tiles (default);
+    # 128: tight reference geometry
+    legs = {
+        "padded": dict(page_size=16, num_pages=64, prefill_chunk=32,
+                       pack_small_pages=False),
+        "packed": dict(page_size=16, num_pages=64, prefill_chunk=32),
+        128: dict(page_size=128, num_pages=8, prefill_chunk=128),
+    }
+    for name, kw in legs.items():
+        ecfg = EngineConfig(max_batch=2, max_seq=256, kv_quant=kv_quant,
+                            **kw)
         eng = DecodeEngine(params, cfg, ecfg, dtype=jnp.float32)
+        if name == "packed":
+            assert eng.ecfg.page_size == 32 and eng.ecfg.num_pages == 32
         for rid, p in prompts.items():
             eng.add_request(rid, p, n_new[rid])
-        outs[page] = eng.run()
+        outs[name] = eng.run()
     for rid, p in prompts.items():
-        # page-16 (padded Pallas path) and page-128 (tight Pallas path)
-        # engines share per-token quant math -> identical streams
-        assert list(outs[16][rid]) == list(outs[128][rid]), rid
+        # all layouts share per-token quant math -> identical streams
+        assert list(outs["padded"][rid]) == list(outs[128][rid]), rid
+        assert list(outs["packed"][rid]) == list(outs[128][rid]), rid
         if kv_quant == "int8":
             # int8 KV tracks full-precision greedy on this tiny model
             # (fp8-E4M3's 3-bit mantissa legitimately diverges a few
             # tokens in)
             want = _naive_greedy(params, cfg, p, n_new[rid])
-            assert list(outs[16][rid]) == want, rid
+            assert list(outs[128][rid]) == want, rid

@@ -315,10 +315,13 @@ def _prefill_append_padded(
     k_pool, v_pool, k_new, v_new, block_tables, positions,
     k_scales, v_scales, layer_idx, page: int, interpret: bool,
 ):
-    """Pallas prefill append for PADDED small-page pools (round-4 verdict
-    #2): pools store `stored_page` rows per page but only `page` are live
-    (quantized page-16 geometries, ops/paged.py padded mode). The old path
-    fell back to the XLA scatter — a whole-pool copy per prefill chunk.
+    """Pallas prefill append in STORAGE coordinates (round-4 verdict #2):
+    serves (a) PADDED small-page pools — stored_page > page, quantized
+    page-16 geometries (previously the XLA scatter, a whole-pool copy per
+    prefill chunk) — and (b) TIGHT pools whose 128-lane-padded scale
+    plane is wider than the page (page 32/64): there the old in-kernel
+    scale windows spanned several pages but landed in one page's plane —
+    silently corrupted scales (round-5 finding, no prior coverage).
 
     Strategy: re-express the append in STORAGE coordinates. Each logical
     page's `page` tokens are padded to a full `stored_page`-row group in
@@ -468,13 +471,18 @@ def paged_append(
     ws = min(128, k_scales.shape[-1]) if quant else min(128, stored_page)
     prefill0 = sq > 1 and mode != "decode"
 
-    # Padded small-page pools (stored_page > page, quantized page-16
-    # geometries): prefill re-expressed in storage coordinates takes the
-    # Pallas path — whole-page value windows + whole scale planes, no
-    # pool copy (round-4 verdict #2; previously always the XLA scatter).
+    # Small-page pools whose SCALE plane is wider than the page (128-lane
+    # padded planes at page < 128 — both padded-value page-16 pools and
+    # TIGHT page-32/64 pools): the in-kernel prefill scale windows cannot
+    # align (a 128-token scale window spans several pages but lands in
+    # one page's plane — silent corruption, found in round 5), and padded
+    # value layouts cannot take whole-window writes. Both re-express the
+    # append in storage coordinates: quantize in XLA, whole-page value
+    # windows, whole scale planes (round-4 verdict #2).
+    wide_scales = quant and k_scales.shape[-1] > page
     if (
         prefill0
-        and page != stored_page
+        and (page != stored_page or wide_scales)
         and sq % page == 0
         and d % 128 == 0
         and stored_page % _sublane_tile(qdt) == 0
@@ -497,6 +505,10 @@ def paged_append(
         or stored_page % _sublane_tile(qdt) != 0
         or (quant and k_scales.shape[-1] % 128 != 0)
         or (prefill0 and page != stored_page)
+        # tight pools with 128-lane-padded scale planes that missed the
+        # storage-coordinate route above (unaligned sq): the in-kernel
+        # scale windows would corrupt — scatter instead
+        or (prefill0 and wide_scales)
     ):
         from xf_flash_attention_cutlass_tpu.ops.kvcache import (
             append_kv_paged,

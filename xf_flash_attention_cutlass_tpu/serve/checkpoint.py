@@ -131,8 +131,18 @@ def load_engine(
         saved_ecfg = EngineConfig(**state["ecfg"])
         if cfg is not None and dataclasses.asdict(cfg) != state["cfg"]:
             raise ValueError("cfg does not match the checkpoint")
-        if ecfg is not None and dataclasses.asdict(ecfg) != state["ecfg"]:
-            raise ValueError("ecfg does not match the checkpoint")
+        if ecfg is not None:
+            # checkpoints store the RESOLVED config (pack_small_pages may
+            # have coarsened page_size/num_pages) — accept a caller config
+            # that resolves to the same thing
+            from xf_flash_attention_cutlass_tpu.serve.engine import (
+                effective_engine_config,
+            )
+
+            if dataclasses.asdict(
+                effective_engine_config(ecfg)
+            ) != state["ecfg"]:
+                raise ValueError("ecfg does not match the checkpoint")
         cfg, ecfg = saved_cfg, saved_ecfg
         if params is None:
             if not state["include_params"]:

@@ -75,10 +75,56 @@ class EngineConfig:
     # at V=128k b=64, recall ~0.95 — the standard TPU serving trade).
     # False restores exact lax.top_k / full-vocab top-p semantics.
     approx_top_k: bool = True
+    # quantized pools at sub-tile page sizes (16/8) are served PAIR-PACKED:
+    # 32//page logical pages per 32-row sublane tile (tight page-32 pools
+    # + a coarsened internal page) — 2.0-2.1x decode bandwidth and half
+    # the HBM of the padded layout (round-5 probe_pair_pack.py).
+    # Allocation granularity coarsens to 32 tokens. False keeps the
+    # literal page-size padded layout.
+    pack_small_pages: bool = True
 
     @property
     def max_pages_per_seq(self) -> int:
         return cdiv(self.max_seq, self.page_size)
+
+
+def effective_engine_config(ecfg: EngineConfig) -> EngineConfig:
+    """Resolve the config the engine actually serves with.
+
+    Page-PAIR packing (round-5 probe, benchmarks/probe_pair_pack.py):
+    quantized pools at sub-tile page sizes serve 2.0-2.1x faster stored
+    as full 32-row sublane tiles holding 32//page logical pages each —
+    vs 0.22-0.24 of live-byte roofline for the padded layout — and use
+    HALF the HBM. Kernel-side a fully packed sequence IS a tight page-32
+    pool with a packed block table, so the engine simply coarsens its
+    internal page to the tile; allocation granularity becomes 32 tokens
+    (<=1 page-equivalent waste per sequence, strictly less than the
+    padded layout's 2x per-page waste). pack_small_pages=False keeps the
+    literal padded layout. Checkpoints store the RESOLVED config (the
+    transform is idempotent, so restore round-trips)."""
+    if (
+        ecfg.kv_quant
+        and ecfg.pack_small_pages
+        and ecfg.page_size < 32
+        and 32 % ecfg.page_size == 0
+    ):
+        factor = 32 // ecfg.page_size
+        if ecfg.num_pages % factor:
+            raise ValueError(
+                f"pack_small_pages: num_pages={ecfg.num_pages} must be a "
+                f"multiple of {factor} (pages per 32-row tile at "
+                f"page_size={ecfg.page_size})"
+            )
+        logger.info(
+            "pack_small_pages: serving page_size=%d quantized pools as "
+            "%d-page 32-row tiles (2x decode bandwidth, half the pool "
+            "bytes vs the padded layout)",
+            ecfg.page_size, factor,
+        )
+        ecfg = dataclasses.replace(
+            ecfg, page_size=32, num_pages=ecfg.num_pages // factor,
+        )
+    return ecfg
 
 
 # candidate-prefix width for the pure top-p fast path (sample_tokens):
@@ -694,6 +740,7 @@ class DecodeEngine:
 
         self._decode_params = pack_params_for_decode(params)
         self.cfg = cfg
+        ecfg = effective_engine_config(ecfg)
         self.ecfg = ecfg
         self.interpret = interpret
         # dp x tp mesh: each data-parallel replica owns a disjoint slice of
