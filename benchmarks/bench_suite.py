@@ -11,6 +11,7 @@ BASELINE.json's eval configs beyond the headline (bench.py):
 Run: python benchmarks/bench_suite.py  (cwd = repo root)
 """
 
+import os
 import sys
 
 sys.path.insert(0, "/root/repo")
@@ -475,6 +476,12 @@ if __name__ == "__main__":
     bench_moe_decode(quant_weights=True)
     bench_moe_decode(quant_weights=True, quant="int8")
     bench_speculative_verify()
+    # BASELINE config 3 end-to-end (continuous batching, ~8 min incl.
+    # compile warmup): opt-in — run benchmarks/bench_engine_cb.py or set
+    # XFA_BENCH_CB=1 (results: benchmarks/RESULTS_r5.md section 5)
+    if os.environ.get("XFA_BENCH_CB") == "1":
+        import subprocess
+        subprocess.run([sys.executable, "benchmarks/bench_engine_cb.py"])
     for bucket in (512, 2048):
         bench_engine_prefill(bucket)
     bench_engine_prefill(2048, quant="int8")
