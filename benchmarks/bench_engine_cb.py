@@ -10,15 +10,17 @@ those rows predicts THIS workload and the residual isolates what only an
 end-to-end run can show: prefill chunks stealing decode steps, host
 bookkeeping, and (this harness only) the axon-tunnel dispatch tax, which
 a production host would not pay. The tax is measured directly by a
-null-dispatch probe and subtracted into its own line.
+null-dispatch probe and reported as its own line.
 
-Reports: aggregate tok/s (wall and tunnel-corrected), TTFT distribution,
-tokens/step, preemption/page stats, and the component-model prediction
-with the gap decomposed. Run: python benchmarks/bench_engine_cb.py
+Two legs: multi_step=1 (classic per-token host loop) and multi_step=8
+(round-5 multi-step scheduling — 8 decode steps per dispatch, one host
+sync per window). Compile warmup is untimed, as a production server's
+would be. Run: python benchmarks/bench_engine_cb.py
 """
 import sys
 
 sys.path.insert(0, "/root/repo")  # noqa: E402
+import json
 import time
 
 import jax
@@ -34,24 +36,29 @@ from xf_flash_attention_cutlass_tpu.utils.profiling import timed_scan
 N_LAYERS = 4
 N_REQS = 64
 
+_cfg_cache = {}
 
-def build_engine(num_pages, max_batch=64):
+
+def build_engine(num_pages, max_batch=64, multi_step=1):
     cfg = LlamaConfig(
         vocab_size=8192, dim=4096, n_layers=N_LAYERS, n_heads=32,
         n_kv_heads=8, ffn_dim=14336, max_seq_len=4096,
     )
-    cpu = jax.devices("cpu")[0]
-    with jax.default_device(cpu):
-        params = init_params(jax.random.PRNGKey(0), cfg)
-        params = quantize_params(params)
-    tpu = jax.devices()[0]
-    params = jax.tree_util.tree_map(lambda x: jax.device_put(x, tpu), params)
+    if "params" not in _cfg_cache:
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            params = init_params(jax.random.PRNGKey(0), cfg)
+            params = quantize_params(params)
+        tpu = jax.devices()[0]
+        _cfg_cache["params"] = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, tpu), params
+        )
     ecfg = EngineConfig(
         max_batch=max_batch, page_size=256, num_pages=num_pages,
         max_seq=4096, kv_quant="int8", prefill_chunk=512, prefill_lanes=4,
-        top_k=40, top_p=0.9, sample_seed=7,
+        top_k=40, top_p=0.9, sample_seed=7, multi_step=multi_step,
     )
-    return DecodeEngine(params, cfg, ecfg), cfg, ecfg
+    return DecodeEngine(_cfg_cache["params"], cfg, ecfg), cfg, ecfg
 
 
 def workload(seed=0):
@@ -77,7 +84,7 @@ def workload(seed=0):
 def null_dispatch_tax(n=200):
     """Per-iteration cost of the harness's dispatch+fetch pattern with a
     trivial device op — the axon-tunnel floor an engine host loop pays
-    per step here but not in production."""
+    per sync here but not in production."""
     x = jnp.zeros((8,), jnp.float32)
 
     @jax.jit
@@ -92,40 +99,12 @@ def null_dispatch_tax(n=200):
     return (time.perf_counter() - t0) / n
 
 
-def main():
-    print("devices:", jax.devices(), flush=True)
-    reqs, arrivals = workload()
-    total_new = sum(r[2] for r in reqs)
-    total_prompt = sum(len(r[1]) for r in reqs)
-    print(f"workload: {N_REQS} reqs, {total_prompt} prompt tokens, "
-          f"{total_new} output tokens", flush=True)
-
-    # page budget: worst-case concurrent need is max_batch live requests;
-    # cap pages at ~55% of the full-workload footprint so the run sustains
-    # high utilization and forces some preemptions without thrashing
-    full_pages = sum((len(p) + n + 255) // 256 for _, p, n in reqs)
-    num_pages = int(full_pages * 0.55)
-    eng, cfg, ecfg = build_engine(num_pages)
-    print(f"pages: {num_pages} (full footprint {full_pages})", flush=True)
-
-    # ---- untimed warmup: compile every shape the run will hit ----
-    # (decode step, prefill chunk step, admission sampling; a production
-    # server compiles once and serves forever — the first run of this
-    # bench measured 66s of in-loop XLA compile drowning a 3.4s workload)
-    t0 = time.perf_counter()
-    warm, _, _ = build_engine(num_pages)
-    warm.add_request(0, [1] * 700, 4, temperature=0.8)
-    warm.add_request(1, [2] * 80, 4, temperature=0.8)
-    warm.run(max_steps=60)
-    # preemption path: tiny pool copy of the same shapes already warm
-    print(f"warmup: {time.perf_counter() - t0:.1f}s "
-          f"(compiles + first dispatches)", flush=True)
-    del warm
-
-    # ---- end-to-end host loop ----
+def run_leg(label, num_pages, multi_step, arrivals):
+    eng, cfg, ecfg = build_engine(num_pages, multi_step=multi_step)
     t_first: dict = {}
     t_arr: dict = {}
     n_chunk_steps = 0  # batched prefill STEPS (stats counts per-lane chunks)
+    n_decode_dispatch = 0
     t0 = time.perf_counter()
     step_i = 0
     while len(eng.results) < N_REQS and step_i < 20000:
@@ -136,9 +115,12 @@ def main():
                 or any(s is not None for s in eng._prefills))
         if busy:
             chunks_before = eng.stats["prefill_chunks"]
+            decode_before = eng.stats["decode_steps"]
             emitted = eng.step()
             if eng.stats["prefill_chunks"] > chunks_before:
                 n_chunk_steps += 1
+            if eng.stats["decode_steps"] > decode_before:
+                n_decode_dispatch += 1
             now = time.perf_counter()
             # the FIRST token of a request is emitted at prefill
             # completion (it enters eng.active with generated=[first]) —
@@ -146,65 +128,105 @@ def main():
             for st in eng.active.values():
                 rid = st["id"]
                 if rid not in t_first:
-                    t_first[rid] = (now - t_arr[rid], step_i)
+                    t_first[rid] = now - t_arr[rid]
             for rid in emitted:
                 if rid not in t_first:
-                    t_first[rid] = (now - t_arr[rid], step_i)
+                    t_first[rid] = now - t_arr[rid]
         step_i += 1
     wall = time.perf_counter() - t0
     assert len(eng.results) == N_REQS, (len(eng.results), step_i)
     got = sum(len(v) for v in eng.results.values())
     stats = eng.stats_summary()
-    print(f"\nend-to-end: {wall:.2f}s wall, {step_i} host steps, "
-          f"{got} tokens -> {got / wall:.0f} tok/s (uncorrected)",
-          flush=True)
-    ttfts = sorted(v[0] for v in t_first.values())
+    ttfts = sorted(t_first.values())
     p50 = ttfts[len(ttfts) // 2]
     p95 = ttfts[int(len(ttfts) * 0.95)]
-    print(f"TTFT: p50 {p50*1e3:.0f}ms  p95 {p95*1e3:.0f}ms  "
+    print(f"\n[{label}] end-to-end: {wall:.2f}s wall, {step_i} host "
+          f"steps, {got} tokens -> {got / wall:.0f} tok/s", flush=True)
+    print(f"[{label}] TTFT: p50 {p50*1e3:.0f}ms  p95 {p95*1e3:.0f}ms  "
           f"max {ttfts[-1]*1e3:.0f}ms", flush=True)
-    print("stats:", {k: round(v, 3) if isinstance(v, float) else v
-                     for k, v in stats.items()}, flush=True)
+    print(f"[{label}] stats:",
+          {k: round(v, 3) if isinstance(v, float) else v
+           for k, v in stats.items()}, flush=True)
+    return dict(label=label, wall=wall, got=got, stats=stats,
+                n_chunk_steps=n_chunk_steps,
+                n_decode_dispatch=n_decode_dispatch,
+                p50=p50, p95=p95)
+
+
+def main():
+    print("devices:", jax.devices(), flush=True)
+    reqs, arrivals = workload()
+    total_new = sum(r[2] for r in reqs)
+    total_prompt = sum(len(r[1]) for r in reqs)
+    print(f"workload: {N_REQS} reqs, {total_prompt} prompt tokens, "
+          f"{total_new} output tokens", flush=True)
+
+    # page budget: cap at ~55% of the full-workload footprint so the run
+    # sustains high utilization and forces some preemptions
+    full_pages = sum((len(p) + n + 255) // 256 for _, p, n in reqs)
+    num_pages = int(full_pages * 0.55)
+    print(f"pages: {num_pages} (full footprint {full_pages})", flush=True)
+
+    # ---- untimed warmup: compile every shape both legs will hit ----
+    t0 = time.perf_counter()
+    for ms in (1, 8):
+        warm, _, _ = build_engine(num_pages, multi_step=ms)
+        warm.add_request(0, [1] * 700, 12, temperature=0.8)
+        warm.add_request(1, [2] * 80, 12, temperature=0.8)
+        warm.run(max_steps=60)
+        del warm
+    print(f"warmup: {time.perf_counter() - t0:.1f}s "
+          f"(compiles + first dispatches)", flush=True)
+
+    legs = [
+        run_leg("multi_step=1", num_pages, 1, arrivals),
+        run_leg("multi_step=8", num_pages, 8, arrivals),
+    ]
 
     # ---- tunnel dispatch tax ----
     tax = null_dispatch_tax()
-    # one jitted call + token fetch per decode step / prefill chunk /
-    # spec step, plus one per-request sampling dispatch at admission
-    n_dispatch = (stats["decode_steps"] + n_chunk_steps
-                  + stats["spec_steps"] + stats["requests_admitted"])
-    print(f"\ntunnel null-dispatch tax: {tax*1e3:.2f}ms/step x "
-          f"{n_dispatch} dispatches = {tax*n_dispatch:.2f}s", flush=True)
+    print(f"\ntunnel null-dispatch tax: {tax*1e3:.2f}ms/sync", flush=True)
 
     # ---- component model from in-process steady-state rows ----
-    # decode step at B=64 (same jitted fns the engine used; pools already
-    # shaped) — measure with timed_scan on a standalone replica
     from xf_flash_attention_cutlass_tpu.serve.engine import decode_core
 
+    cfg = LlamaConfig(
+        vocab_size=8192, dim=4096, n_layers=N_LAYERS, n_heads=32,
+        n_kv_heads=8, ffn_dim=14336, max_seq_len=4096,
+    )
     B, page, mp = 64, 256, 8
     np_pages = B * mp + 1
     shape = (N_LAYERS, np_pages, cfg.n_kv_heads, page, cfg.head_dim)
-    pools = dict(
-        k=jnp.zeros(shape, jnp.int8), v=jnp.zeros(shape, jnp.int8),
-        k_s=jnp.ones(shape[:-1], jnp.float32),
-        v_s=jnp.ones(shape[:-1], jnp.float32),
-    )
+
+    def fresh_pools():
+        return dict(
+            k=jnp.zeros(shape, jnp.int8), v=jnp.zeros(shape, jnp.int8),
+            k_s=jnp.ones(shape[:-1], jnp.float32),
+            v_s=jnp.ones(shape[:-1], jnp.float32),
+        )
+
     bt = jnp.arange(B * mp, dtype=jnp.int32).reshape(B, mp)
     kv_lens = jnp.full((B,), 900, jnp.int32)
     tokens = jnp.zeros((B, 1), jnp.int32)
     temps = jnp.full((B,), 0.8, jnp.float32)
     key = jax.random.PRNGKey(3)
+    params = _cfg_cache["params"]
+    from xf_flash_attention_cutlass_tpu.models.llama import (
+        pack_params_for_decode,
+    )
 
-    def dstep(carry, params, bt, kv_lens):
+    dparams = pack_params_for_decode(params)
+
+    def dstep(carry, dparams, bt, kv_lens):
         t, pools = carry
         nt, _, pools = decode_core(
-            params, t, pools, bt, kv_lens, cfg, "int8",
+            dparams, t, pools, bt, kv_lens, cfg, "int8",
             temperature=temps, sample_key=key, top_k=40, top_p=0.9,
         )
         return (nt[:, None].astype(jnp.int32), pools)
 
-    t_dec = timed_scan(dstep, (tokens, pools), eng._decode_params, bt,
-                       kv_lens)
-    print(f"\ncomponent decode step (B=64 @900ctx, sampled): "
+    t_dec = timed_scan(dstep, (tokens, fresh_pools()), dparams, bt, kv_lens)
+    print(f"component decode step (B=64 @900ctx, sampled): "
           f"{t_dec*1e6:.0f}us", flush=True)
 
     from xf_flash_attention_cutlass_tpu.serve.engine import prefill_chunk_core
@@ -222,59 +244,37 @@ def main():
         )
         return pools
 
-    pools2 = dict(
-        k=jnp.zeros(shape, jnp.int8), v=jnp.zeros(shape, jnp.int8),
-        k_s=jnp.ones(shape[:-1], jnp.float32),
-        v_s=jnp.ones(shape[:-1], jnp.float32),
-    )
-    t_pf = timed_scan(pstep, pools2, eng._decode_params, ptokens, n_prior,
+    t_pf = timed_scan(pstep, fresh_pools(), params, ptokens, n_prior,
                       n_valid, pbt)
     print(f"component prefill chunk (P=4 x 512): {t_pf*1e6:.0f}us "
           f"({P*C/t_pf/1e3:.1f}k tok/s)", flush=True)
 
-    # device-side engine time for EXACTLY the step sequence the run
-    # executed (same jitted shapes, measured in-process): what a
-    # colocated host would pay
-    model_s = (stats["decode_steps"] * t_dec + n_chunk_steps * t_pf)
-    device_tok_s = got / model_s
-    print(f"\ndevice-side engine time (this run's step sequence): "
-          f"{stats['decode_steps']} decode x {t_dec*1e6:.0f}us + "
-          f"{n_chunk_steps} chunk steps x {t_pf*1e6:.0f}us = "
-          f"{model_s:.2f}s -> {device_tok_s:.0f} tok/s (colocated-host "
-          f"estimate)", flush=True)
-    # wall decomposition: wall ~= n_dispatch x tunnel RT + device time
-    # (+ host bookkeeping - dispatch/compute overlap)
-    resid = wall - tax * n_dispatch - model_s
-    print(f"wall decomposition: {wall:.2f}s = {tax*n_dispatch:.2f}s "
-          f"tunnel RT + {model_s:.2f}s device + {resid:+.2f}s "
-          f"(host bookkeeping - RT/compute overlap)", flush=True)
-    # interleave accounting only an end-to-end run can show: prefill
-    # chunks actually issued vs the workload's intrinsic chunk count
-    # (re-prefills of preempted contexts + per-prompt fragmentation)
-    intrinsic = sum(-(-len(p) // ecfg.prefill_chunk) for _, p, _ in reqs)
-    print(f"prefill: {stats['prefill_chunks']} per-lane chunks in "
-          f"{n_chunk_steps} batched steps vs {intrinsic} intrinsic chunks "
-          f"(+{stats['prefill_chunks'] - intrinsic} from preemption "
-          f"re-prefill)", flush=True)
-    line = {
-        "metric": "engine_cb_device_tok_s",
-        "value": round(device_tok_s, 1),
-        "unit": "tok/s",
-        "wall_tok_s": round(got / wall, 1),
-        "wall_s": round(wall, 2),
-        "tunnel_rt_s": round(tax * n_dispatch, 2),
-        "device_s": round(model_s, 2),
-        "ttft_p50_ms": round(p50 * 1e3, 1),
-        "ttft_p95_ms": round(p95 * 1e3, 1),
-        "preemptions": stats["preemptions"],
-        "tokens_per_step": round(stats["tokens_per_step"], 2),
-        "prefill_chunks": stats["prefill_chunks"],
-        "chunk_steps": n_chunk_steps,
-        "intrinsic_chunks": intrinsic,
-    }
-    import json
-
-    print(json.dumps(line), flush=True)
+    for leg in legs:
+        stats = leg["stats"]
+        model_s = stats["decode_steps"] * t_dec + leg["n_chunk_steps"] * t_pf
+        n_sync = (leg["n_decode_dispatch"] + leg["n_chunk_steps"]
+                  + stats["requests_admitted"])
+        resid = leg["wall"] - tax * n_sync - model_s
+        print(f"\n[{leg['label']}] device-side: {stats['decode_steps']} "
+              f"decode x {t_dec*1e6:.0f}us + {leg['n_chunk_steps']} chunk "
+              f"steps x {t_pf*1e6:.0f}us = {model_s:.2f}s -> "
+              f"{leg['got'] / model_s:.0f} tok/s (colocated-host "
+              f"estimate)", flush=True)
+        print(f"[{leg['label']}] wall {leg['wall']:.2f}s = "
+              f"{tax*n_sync:.2f}s tunnel RT ({n_sync} syncs) + "
+              f"{model_s:.2f}s device + {resid:+.2f}s host/overlap",
+              flush=True)
+        print(json.dumps({
+            "metric": f"engine_cb_{leg['label'].replace('=', '')}",
+            "wall_tok_s": round(leg["got"] / leg["wall"], 1),
+            "device_tok_s": round(leg["got"] / model_s, 1),
+            "wall_s": round(leg["wall"], 2),
+            "syncs": n_sync,
+            "ttft_p50_ms": round(leg["p50"] * 1e3, 1),
+            "ttft_p95_ms": round(leg["p95"] * 1e3, 1),
+            "preemptions": stats["preemptions"],
+            "tokens_emitted": leg["got"],
+        }), flush=True)
 
 
 if __name__ == "__main__":

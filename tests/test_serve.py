@@ -664,3 +664,60 @@ def test_engine_chunked_prefill_quant_small_page(kv_quant):
             # tokens in)
             want = _naive_greedy(params, cfg, p, n_new[rid])
             assert list(outs[128][rid]) == want, rid
+
+
+@pytest.mark.parametrize("temp", [0.0, 0.8])
+def test_engine_multi_step_token_identity(temp):
+    """Multi-step scheduling (K decode steps per dispatch, round 5):
+    streams must be token-identical to the per-step engine — same
+    sampling key schedule, overshoot tokens trimmed — including
+    mid-window finishes (staggered max_new)."""
+    cfg, params = _tiny()
+    prompts = {0: [3, 17, 42, 9], 1: [5, 9, 2, 33, 8, 1, 60]}
+    max_new = {0: 10, 1: 7}  # 7 finishes mid-window at K=4
+
+    outs = {}
+    for K in (1, 4):
+        ecfg = EngineConfig(
+            max_batch=2, page_size=16, num_pages=64, max_seq=256,
+            multi_step=K, top_k=8 if temp else 0, sample_seed=5,
+        )
+        eng = DecodeEngine(params, cfg, ecfg, dtype=jnp.float32)
+        for rid, p in prompts.items():
+            eng.add_request(rid, p, max_new[rid], temperature=temp)
+        outs[K] = eng.run()
+        assert eng.pool.free_pages() == ecfg.num_pages
+    for rid in prompts:
+        assert list(outs[1][rid]) == list(outs[4][rid]), (rid, temp)
+        assert len(outs[4][rid]) == max_new[rid]
+
+
+def test_engine_multi_step_with_preemption():
+    """Multi-step windows pre-extend pages by K, so preemption triggers
+    earlier than per-step mode — but preempted requests still resume to
+    the exact uncontended stream."""
+    cfg, params = _tiny()
+    rng = np.random.default_rng(9)
+    prompts = {
+        rid: [int(t) for t in rng.integers(0, cfg.vocab_size, 17 + rid)]
+        for rid in range(3)
+    }
+    max_new = 30
+
+    ref = {}
+    for rid, prompt in prompts.items():
+        ecfg = EngineConfig(max_batch=1, page_size=16, num_pages=64,
+                            max_seq=256)
+        eng = DecodeEngine(params, cfg, ecfg, dtype=jnp.float32)
+        eng.add_request(rid, prompt, max_new)
+        ref[rid] = eng.run()[rid]
+
+    ecfg = EngineConfig(max_batch=3, page_size=16, num_pages=9,
+                        max_seq=256, multi_step=4)
+    eng = DecodeEngine(params, cfg, ecfg, dtype=jnp.float32)
+    for rid, prompt in prompts.items():
+        eng.add_request(rid, prompt, max_new)
+    out = eng.run()
+    assert eng.stats_summary()["preemptions"] > 0
+    for rid in prompts:
+        assert out[rid] == ref[rid], rid

@@ -75,6 +75,17 @@ class EngineConfig:
     # at V=128k b=64, recall ~0.95 — the standard TPU serving trade).
     # False restores exact lax.top_k / full-vocab top-p semantics.
     approx_top_k: bool = True
+    # multi-step scheduling: when no admission or prefill work is pending,
+    # run this many decode steps inside ONE dispatch (a device-side
+    # lax.scan) — the host syncs once per window instead of once per
+    # token, cutting dispatch+fetch overhead by the window size.
+    # Requests finishing mid-window generate (discarded) overshoot
+    # tokens into their own rows only; pages are pre-extended by the
+    # window (<= multi_step-1 tokens of transient page overshoot per
+    # request). Token streams are identical to multi_step=1 (same key
+    # schedule). Single-device engines only (mesh engines run per-step);
+    # ignored when speculative decoding is active.
+    multi_step: int = 1
     # quantized pools at sub-tile page sizes (16/8) are served PAIR-PACKED:
     # 32//page logical pages per 32-row sublane tile (tight page-32 pools
     # + a coarsened internal page) — 2.0-2.1x decode bandwidth and half
@@ -333,6 +344,55 @@ def decode_step(
         temperature=temperature, sample_key=sample_key,
         top_k=top_k, top_p=top_p, approx_top_k=approx_top_k,
     )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "quant", "interpret", "top_k", "top_p",
+                     "approx_top_k", "page_size", "n_steps"),
+    donate_argnames=("pools",),
+)
+def decode_multi_step(
+    params, tokens, pools, block_tables, kv_lens,
+    cfg: LlamaConfig, quant: Optional[str] = None,
+    interpret: Optional[bool] = None,
+    temperature: Optional[jax.Array] = None,
+    sample_base: Optional[jax.Array] = None,  # PRNGKey; fold_in in-scan
+    step0: Optional[jax.Array] = None,  # int32 scalar: first step's count
+    top_k: int = 0, top_p: float = 0.0,
+    approx_top_k: bool = True,
+    page_size: Optional[int] = None,
+    n_steps: int = 2,
+):
+    """Multi-step scheduling: `n_steps` autoregressive decode iterations
+    in ONE dispatch, rolled into a device-side lax.scan — the host loop
+    pays one dispatch + one token fetch per WINDOW instead of per token
+    (the tunnel/dispatch+sync tax dominates small-model decode; a
+    colocated host still saves the per-step sync stall).
+
+    Contract: `kv_lens` is the length after the FIRST inner step (the
+    engine pre-extends pages by n_steps; inner step i uses kv_lens + i).
+    Sampling keys are fold_in(sample_base, step0 + i) — exactly the
+    per-step engine's schedule, so streams are token-identical.
+    Returns ((n_steps, b) tokens, pools)."""
+
+    def body(carry, i):
+        tokens, pools = carry
+        key = None
+        if sample_base is not None:
+            key = jax.random.fold_in(sample_base, step0 + i)
+        nt, _, pools = decode_core(
+            params, tokens, pools, block_tables, kv_lens + i, cfg, quant,
+            interpret, page_size=page_size,
+            temperature=temperature, sample_key=key,
+            top_k=top_k, top_p=top_p, approx_top_k=approx_top_k,
+        )
+        return (nt[:, None], pools), nt
+
+    (_, pools), toks = jax.lax.scan(
+        body, (tokens, pools), jnp.arange(n_steps, dtype=jnp.int32)
+    )
+    return toks, pools
 
 
 def verify_core(
@@ -1385,10 +1445,21 @@ class DecodeEngine:
             self._spec_decode(emitted)
             self.stats["tokens_emitted"] += sum(len(v) for v in emitted.values())
             return emitted
-        self.stats["decode_steps"] += 1
-        # grow each active sequence by one (the pending token's KV)
+        # multi-step window: only when the host has no scheduling work
+        # pending (no queue, no prefill lanes) — admissions never wait
+        # more than one window, and the per-step path stays bit-identical
+        K = self.ecfg.multi_step
+        if (
+            K <= 1
+            or self.mesh is not None
+            or self.queue
+            or any(st is not None for st in self._prefills)
+        ):
+            K = 1
+        self.stats["decode_steps"] += K
+        # grow each active sequence by the window (the pending tokens' KV)
         for slot in list(self.active):
-            if self.pool.extend(slot, 1) < 0:
+            if self.pool.extend(slot, K) < 0:
                 # OOM: preempt — requeue with the full context so it
                 # resumes via prefill once pages free up
                 st = self.active.pop(slot)
@@ -1420,6 +1491,48 @@ class DecodeEngine:
         for slot, st in self.active.items():
             tokens[slot, 0] = st["last_token"]
             temps[slot] = st["temperature"]
+        if K > 1:
+            # one dispatch, K autoregressive steps on device; same key
+            # schedule as K consecutive per-step calls
+            step0 = self._step_count + 1
+            self._step_count += K
+            kwargs = {}
+            if temps.any():
+                kwargs = dict(
+                    temperature=jnp.asarray(temps),
+                    sample_base=self._sample_base,
+                    step0=jnp.asarray(step0, jnp.int32),
+                    top_k=self.ecfg.top_k,
+                    top_p=self.ecfg.top_p,
+                    approx_top_k=self.ecfg.approx_top_k,
+                )
+            toks, self.pools = decode_multi_step(
+                self._decode_params, jnp.asarray(tokens), self.pools,
+                jnp.asarray(bt),
+                # lens after the FIRST inner step (pages were pre-extended
+                # by K); inactive rows clamp to 0 like the per-step path
+                jnp.asarray(np.maximum(kv_lens - (K - 1), 0)),
+                self.cfg, self.ecfg.kv_quant, self.interpret,
+                page_size=self.ecfg.page_size, n_steps=K, **kwargs,
+            )
+            toks_np = np.asarray(toks)  # (K, max_batch)
+            for slot, st in self.active.items():
+                for i in range(K):
+                    tok = int(toks_np[i, slot])
+                    st["last_token"] = tok
+                    st["generated"].append(tok)
+                    emitted.setdefault(st["id"], []).append(tok)
+                    if (
+                        len(st["generated"]) >= st["max_new"]
+                        or tok == self.ecfg.eos_token
+                    ):
+                        # overshoot tokens past done are discarded (they
+                        # only ever touched this request's own rows)
+                        break
+            self.stats["tokens_emitted"] += sum(
+                len(v) for v in emitted.values()
+            )
+            return emitted
         self._step_count += 1
         sampling = {}
         if temps.any():
