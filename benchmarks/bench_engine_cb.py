@@ -17,6 +17,7 @@ Two legs: multi_step=1 (classic per-token host loop) and multi_step=8
 sync per window). Compile warmup is untimed, as a production server's
 would be. Run: python benchmarks/bench_engine_cb.py
 """
+import os
 import sys
 
 sys.path.insert(0, "/root/repo")  # noqa: E402
@@ -33,7 +34,9 @@ from xf_flash_attention_cutlass_tpu.models.llama import (
 from xf_flash_attention_cutlass_tpu.serve import DecodeEngine, EngineConfig
 from xf_flash_attention_cutlass_tpu.utils.profiling import timed_scan
 
-N_LAYERS = 4
+# XFA_CB_LAYERS=32 runs the FULL-depth engine (no slice): ~15GB of int8
+# weights+pools on the 16GB chip, several extra minutes of compile warmup
+N_LAYERS = int(os.environ.get("XFA_CB_LAYERS", 4))
 N_REQS = 64
 
 _cfg_cache = {}
@@ -194,7 +197,12 @@ def main():
         vocab_size=8192, dim=4096, n_layers=N_LAYERS, n_heads=32,
         n_kv_heads=8, ffn_dim=14336, max_seq_len=4096,
     )
-    B, page, mp = 64, 256, 8
+    # full-depth runs cannot hold a second B=64 pool set beside the 8GB
+    # int8 weights (16GB HBM): shrink the component-probe batch — decode
+    # step time is dominated by the weight stream at the 8B geometry, so
+    # the B=32 probe still anchors the model (bench_8b_direct: 417us/layer
+    # at B=32 vs 622us/layer at B=64@1.5k — we report which was used)
+    B, page, mp = (64, 256, 8) if N_LAYERS <= 8 else (32, 256, 4)
     np_pages = B * mp + 1
     shape = (N_LAYERS, np_pages, cfg.n_kv_heads, page, cfg.head_dim)
 
@@ -226,7 +234,7 @@ def main():
         return (nt[:, None].astype(jnp.int32), pools)
 
     t_dec = timed_scan(dstep, (tokens, fresh_pools()), dparams, bt, kv_lens)
-    print(f"component decode step (B=64 @900ctx, sampled): "
+    print(f"component decode step (B={B} @900ctx, sampled): "
           f"{t_dec*1e6:.0f}us", flush=True)
 
     from xf_flash_attention_cutlass_tpu.serve.engine import prefill_chunk_core

@@ -70,6 +70,32 @@ def bench(qname, page, pad_to=None):
     return t
 
 
+def bench_bf16(page):
+    """bf16 small pages are tight at 16 (no sublane padding) — the tax is
+    DMA granularity only; measures whether packing to 32 pays there too."""
+    rng = np.random.default_rng(0)
+    pps = CTX // page
+    nump = B * pps + 8
+    kp = jax.random.normal(jax.random.PRNGKey(0), (nump, HK, page, D), jnp.bfloat16)
+    vp = jax.random.normal(jax.random.PRNGKey(1), (nump, HK, page, D), jnp.bfloat16)
+    bt = jnp.asarray(rng.permutation(nump)[: B * pps].reshape(B, pps), jnp.int32)
+    kv_lens = jnp.asarray(rng.integers(CTX // 2, CTX + 1, (B,)) // 32 * 32,
+                          jnp.int32)
+    q = jax.random.normal(jax.random.PRNGKey(2), (B, 1, H, D), jnp.bfloat16)
+    live_tokens = int(np.sum(np.asarray(kv_lens)))
+    nbytes = 2 * live_tokens * HK * D * 2
+
+    def step(qa, kp, vp, bt, kv_lens):
+        return paged_attention(qa, kp, vp, bt, kv_lens, causal=True,
+                               page_size=page)[0].astype(qa.dtype)
+
+    t = timed_scan(step, q, kp, vp, bt, kv_lens, lengths=(4, 64))
+    roof = nbytes / BW
+    print(f"bf16 page={page} tight: {t*1e6:8.2f}us  live-roof "
+          f"{roof*1e6:6.2f}us  frac {roof/t:.3f}")
+    return t
+
+
 if __name__ == "__main__":
     print("devices:", jax.devices())
     for qname in ("fp8_e4m3", "int8"):
@@ -78,5 +104,9 @@ if __name__ == "__main__":
         t256 = bench(qname, 256)            # (c) native upper bound
         print(f"{qname}: pair-pack speedup over padded-16: {t16/t32:.2f}x "
               f"(native-256 is {t16/t256:.2f}x)")
+    # bf16 leg: tight-16 vs tight-32 (packing candidate for bf16 too?)
+    t16b = bench_bf16(16)
+    t32b = bench_bf16(32)
+    print(f"bf16: pack-to-32 speedup over tight-16: {t16b/t32b:.2f}x")
     # drift check: re-run the first leg
     bench("fp8_e4m3", 16, pad_to=32)
