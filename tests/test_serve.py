@@ -721,3 +721,27 @@ def test_engine_multi_step_with_preemption():
     assert eng.stats_summary()["preemptions"] > 0
     for rid in prompts:
         assert out[rid] == ref[rid], rid
+
+
+def test_engine_multi_step_with_chunked_prefill_and_prefix():
+    """Multi-step windows only engage when prefill lanes are idle and the
+    queue is empty — composed with chunked prefill + a shared prefix the
+    streams must still be identical to per-step mode."""
+    cfg, params = _tiny()
+    prefix = [(5 * i + 2) % cfg.vocab_size for i in range(40)]
+    prompts = {1: [3, 5, 7], 2: [11, 13, 17, 19, 23]}
+
+    outs = {}
+    for K in (1, 4):
+        ecfg = EngineConfig(
+            max_batch=2, page_size=16, num_pages=64, max_seq=256,
+            prefill_chunk=16, multi_step=K,
+        )
+        eng = DecodeEngine(params, cfg, ecfg, dtype=jnp.float32)
+        eng.register_prefix("sys", prefix)
+        for rid, p in prompts.items():
+            eng.add_request(rid, p, 9, prefix_id="sys")
+        outs[K] = eng.run()
+    for rid in prompts:
+        assert list(outs[1][rid]) == list(outs[4][rid]), rid
+        assert len(outs[4][rid]) == 9
