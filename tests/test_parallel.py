@@ -1166,3 +1166,32 @@ def test_zigzag_ring_balanced_schedule():
         assert all(x == 2.0 for x in per_hop), (i, per_hop)
         totals.append(sum(per_hop))
     assert all(t == 2.0 * n for t in totals), totals
+
+
+@pytest.mark.parametrize("temp", [0.0, 0.8])
+def test_tp_engine_multi_step_token_identical(temp):
+    """Multi-step scheduling on a MESH engine (round 5: the lax.scan runs
+    INSIDE the shard_map, tp_serve.tp_decode_multi_step): tp2 engine with
+    multi_step=4 must emit exactly the per-step tp2 engine's streams
+    (greedy and sampled key schedules)."""
+    from xf_flash_attention_cutlass_tpu.serve import DecodeEngine, EngineConfig
+
+    cfg, params = _tiny()
+    mesh = make_mesh(tp=2, devices=_cpu_devices(2))
+    prompts = {0: [3, 17, 42, 9], 1: [5, 9, 2, 33, 8, 1, 60]}
+    max_new = {0: 9, 1: 6}  # 6 finishes mid-window at K=4
+
+    outs = {}
+    for K in (1, 4):
+        ecfg = EngineConfig(
+            max_batch=2, page_size=16, num_pages=64, max_seq=256,
+            prefill_chunk=32, multi_step=K,
+            top_k=8 if temp else 0, sample_seed=5,
+        )
+        eng = DecodeEngine(params, cfg, ecfg, dtype=jnp.float32, mesh=mesh)
+        for rid, p in prompts.items():
+            eng.add_request(rid, p, max_new[rid], temperature=temp)
+        outs[K] = eng.run()
+    for rid in prompts:
+        assert list(outs[1][rid]) == list(outs[4][rid]), (rid, temp)
+        assert len(outs[4][rid]) == max_new[rid]

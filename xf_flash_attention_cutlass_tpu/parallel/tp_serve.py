@@ -153,6 +153,89 @@ def tp_decode_step(
               sample_key)
 
 
+def tp_decode_multi_step(
+    params,
+    tokens,  # (b, 1) int32
+    pools,
+    block_tables,
+    kv_lens,  # (b,) int32 — length after the FIRST inner step (engine
+    # pre-extends pages by n_steps; inner step i uses kv_lens + i)
+    cfg: LlamaConfig,
+    mesh: Mesh,
+    quant: Optional[str] = None,
+    interpret: Optional[bool] = None,
+    temperature=None,
+    sample_base=None,  # PRNGKey, replicated; fold_in(base, step0+i) in-scan
+    step0=None,  # int32 scalar
+    top_k: int = 0,
+    top_p: float = 0.0,
+    approx_top_k: bool = True,
+    sp_batch: bool = False,
+    dp_axis: bool = False,
+    ep_axis: bool = False,
+    page_size: Optional[int] = None,
+    n_steps: int = 2,
+):
+    """Mesh analog of engine.decode_multi_step: n_steps autoregressive
+    decode iterations in ONE dispatch, the lax.scan INSIDE the shard_map
+    (per-layer psums/RS+AG/all_to_all collectives trace once per inner
+    step; the host syncs once per window). Same key schedule as n_steps
+    consecutive tp_decode_step calls — token-identical streams.
+    Returns ((n_steps, b) tokens, pools)."""
+    pspecs = _pspecs(params, ep_axis)
+    kspecs = _kspecs(pools, dp_axis, ep_axis)
+    bspec = P(_batch_axes(dp_axis, ep_axis))
+    tp_size = mesh.shape[TP]
+    lcfg = _local_cfg(cfg, tp_size)
+    if temperature is None:
+        temperature = jnp.zeros((tokens.shape[0],), jnp.float32)
+    if sample_base is None:
+        sample_base = jax.random.PRNGKey(0)
+    if step0 is None:
+        step0 = jnp.asarray(0, jnp.int32)
+
+    def local(params, tokens, pools, block_tables, kv_lens, temperature,
+              sample_base, step0):
+        def body(carry, i):
+            tokens, pools = carry
+            key = jax.random.fold_in(sample_base, step0 + i)
+            nt, _, pools = decode_core(
+                params, tokens, pools, block_tables, kv_lens + i,
+                cfg=lcfg, quant=quant, interpret=interpret, axis_name=TP,
+                ep_axis=EP if ep_axis else None, page_size=page_size,
+                temperature=temperature, sample_key=key,
+                top_k=top_k, top_p=top_p, approx_top_k=approx_top_k,
+                sp_batch=sp_batch,
+            )
+            return (nt[:, None], pools), nt
+
+        (_, pools), toks = jax.lax.scan(
+            body, (tokens, pools), jnp.arange(n_steps, dtype=jnp.int32)
+        )
+        return toks, pools
+
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(pspecs, bspec, kspecs, bspec, bspec, bspec, P(), P()),
+        out_specs=(P(None, *bspec), kspecs),
+        check_vma=False,
+    )
+    return fn(params, tokens, pools, block_tables, kv_lens, temperature,
+              sample_base, step0)
+
+
+tp_decode_multi_step_jit = functools.partial(
+    jax.jit,
+    static_argnames=(
+        "cfg", "mesh", "quant", "interpret", "top_k", "top_p",
+        "approx_top_k", "sp_batch", "dp_axis", "ep_axis", "page_size",
+        "n_steps",
+    ),
+    donate_argnames=("pools",),
+)(tp_decode_multi_step)
+
+
 def tp_verify_step(
     params,
     tokens,  # (b, L) int32, replicated — [last, draft_1, ..., draft_{L-1}]

@@ -83,8 +83,9 @@ class EngineConfig:
     # tokens into their own rows only; pages are pre-extended by the
     # window (<= multi_step-1 tokens of transient page overshoot per
     # request). Token streams are identical to multi_step=1 (same key
-    # schedule). Single-device engines only (mesh engines run per-step);
-    # ignored when speculative decoding is active.
+    # schedule). Works on mesh engines too (the scan runs inside the
+    # shard_map, parallel/tp_serve.tp_decode_multi_step); ignored when
+    # speculative decoding is active.
     multi_step: int = 1
     # quantized pools at sub-tile page sizes (16/8) are served PAIR-PACKED:
     # 32//page logical pages per 32-row sublane tile (tight page-32 pools
@@ -907,11 +908,13 @@ class DecodeEngine:
                         ecfg.prefill_chunk, ecfg.page_size,
                     )
                 logger.info(
-                    "quantized KV with page_size=%d (not a multiple of "
-                    "128) stores padded pools (%d rows, %d scale "
-                    "lanes) — a ~2x HBM byte tax on decode reads; use "
-                    "page_size=256 for production throughput",
+                    "quantized KV with page_size=%d stores %d value rows "
+                    "/ %d scale lanes per page%s; use page_size=256 for "
+                    "production throughput",
                     ecfg.page_size, dma_rows, scale_lanes,
+                    (" — a ~2x HBM byte tax on decode reads (padded "
+                     "values)") if dma_rows != ecfg.page_size else
+                    " (tight values, page-granularity DMA only)",
                 )
             vdt = jnp.int8 if ecfg.kv_quant == "int8" else jnp.float8_e4m3fn
             self.pools = dict(
@@ -1451,7 +1454,6 @@ class DecodeEngine:
         K = self.ecfg.multi_step
         if (
             K <= 1
-            or self.mesh is not None
             or self.queue
             or any(st is not None for st in self._prefills)
         ):
@@ -1506,15 +1508,30 @@ class DecodeEngine:
                     top_p=self.ecfg.top_p,
                     approx_top_k=self.ecfg.approx_top_k,
                 )
-            toks, self.pools = decode_multi_step(
-                self._decode_params, jnp.asarray(tokens), self.pools,
-                jnp.asarray(bt),
-                # lens after the FIRST inner step (pages were pre-extended
-                # by K); inactive rows clamp to 0 like the per-step path
-                jnp.asarray(np.maximum(kv_lens - (K - 1), 0)),
-                self.cfg, self.ecfg.kv_quant, self.interpret,
-                page_size=self.ecfg.page_size, n_steps=K, **kwargs,
-            )
+            # lens after the FIRST inner step (pages were pre-extended
+            # by K); inactive rows clamp to 0 like the per-step path
+            lens_first = jnp.asarray(np.maximum(kv_lens - (K - 1), 0))
+            if self.mesh is not None:
+                from xf_flash_attention_cutlass_tpu.parallel.tp_serve import (
+                    tp_decode_multi_step_jit,
+                )
+
+                toks, self.pools = tp_decode_multi_step_jit(
+                    self._decode_params, jnp.asarray(tokens), self.pools,
+                    jnp.asarray(bt), lens_first,
+                    cfg=self.cfg, mesh=self.mesh,
+                    quant=self.ecfg.kv_quant, interpret=self.interpret,
+                    dp_axis=self.dp > 1, ep_axis=self.ep > 1,
+                    sp_batch=True, page_size=self.ecfg.page_size,
+                    n_steps=K, **kwargs,
+                )
+            else:
+                toks, self.pools = decode_multi_step(
+                    self._decode_params, jnp.asarray(tokens), self.pools,
+                    jnp.asarray(bt), lens_first,
+                    self.cfg, self.ecfg.kv_quant, self.interpret,
+                    page_size=self.ecfg.page_size, n_steps=K, **kwargs,
+                )
             toks_np = np.asarray(toks)  # (K, max_batch)
             for slot, st in self.active.items():
                 for i in range(K):
