@@ -416,3 +416,23 @@ def test_ep_engine_all_features_token_identical():
     out = run(mesh)
     for rid in prompts:
         assert list(out[rid]) == list(ref[rid]), rid
+
+
+def test_ep_engine_multi_step_token_identical():
+    """EP mesh engine with multi-step windows (round 5: the decode scan —
+    including the GShard all_to_all pair — runs inside the shard_map):
+    streams must match the per-step ep2 engine exactly."""
+    from xf_flash_attention_cutlass_tpu.serve import EngineConfig
+
+    cfg, params = _moe_setup()
+    mesh = make_mesh(ep=2, devices=_cpu_devices(2))
+    prompts = _engine_prompts(cfg)
+    outs = {}
+    for K in (1, 3):
+        ecfg = EngineConfig(
+            max_batch=4, page_size=16, num_pages=64, max_seq=256,
+            prefill_chunk=32, prefill_lanes=2, multi_step=K,
+        )
+        outs[K] = _run_engine(params, cfg, ecfg, mesh, prompts)
+    for rid in prompts:
+        assert list(outs[1][rid]) == list(outs[3][rid]), rid
