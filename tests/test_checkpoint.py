@@ -298,3 +298,37 @@ def test_checkpoint_quantized_params_roundtrip(tmp_path):
     assert isinstance(eng2.params["layers"]["wq"], tuple)
     out = eng2.run()
     assert list(out[1]) == list(ref[1])
+
+
+def test_checkpoint_resume_packed_multi_step(tmp_path):
+    """Round-5 features compose through a checkpoint: pair-packed
+    quantized small pages (pack_small_pages resolves page 16 -> 32,
+    stored in the checkpoint) + multi-step windows (_step_count advances
+    by K, part of the state). Resume must continue the exact stream of
+    the uninterrupted run."""
+    cfg = _small_cfg()
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    ecfg = EngineConfig(
+        max_batch=2, page_size=16, num_pages=64, max_seq=256,
+        kv_quant="int8", multi_step=4, top_k=8, sample_seed=11,
+    )
+    prompts = {1: [3, 5, 7, 11, 13], 2: list(range(20, 33))}
+
+    def make():
+        eng = DecodeEngine(params, cfg, ecfg)
+        assert eng.ecfg.page_size == 32  # pack resolved
+        for rid, p in prompts.items():
+            eng.add_request(rid, p, 12, temperature=0.7)
+        return eng
+
+    ref = make().run(max_steps=60)
+
+    eng = make()
+    for _ in range(2):  # two multi-step windows in
+        eng.step()
+    path = str(tmp_path / "ckpt_pack_ms.npz")
+    save_engine(eng, path)
+    eng2 = load_engine(path, params=params, ecfg=ecfg)  # unresolved ecfg ok
+    assert eng2.ecfg.multi_step == 4 and eng2.ecfg.page_size == 32
+    out = eng2.run(max_steps=60)
+    assert out == ref
