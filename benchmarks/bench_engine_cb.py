@@ -64,16 +64,26 @@ def build_engine(num_pages, max_batch=64, multi_step=1):
     return DecodeEngine(_cfg_cache["params"], cfg, ecfg), cfg, ecfg
 
 
+SATURATE = os.environ.get("XFA_CB_SATURATE") == "1"
+
+
 def workload(seed=0):
     """64 mixed requests: prompt lengths lognormal-ish 64..1536, outputs
-    32..192, arriving in bursts (16 at t=0, then 6 every 10 steps)."""
+    32..192, arriving in bursts (16 at t=0, then 6 every 10 steps).
+
+    XFA_CB_SATURATE=1: all 64 arrive at t=0 with uniform 128-token
+    outputs and an ample page budget — the steady-state regime (decode
+    occupancy ~max_batch), connecting the end-to-end number to the
+    component decode rows."""
     rng = np.random.default_rng(seed)
     reqs = []
     for rid in range(N_REQS):
         plen = int(np.clip(rng.lognormal(6.0, 0.7), 64, 1536))
-        nout = int(rng.integers(32, 192))
+        nout = 128 if SATURATE else int(rng.integers(32, 192))
         prompt = rng.integers(0, 8192, plen).astype(int).tolist()
         reqs.append((rid, prompt, nout))
+    if SATURATE:
+        return reqs, {0: reqs}
     arrivals = {0: reqs[:16]}
     k = 16
     step = 10
@@ -167,7 +177,7 @@ def main():
     # page budget: cap at ~55% of the full-workload footprint so the run
     # sustains high utilization and forces some preemptions
     full_pages = sum((len(p) + n + 255) // 256 for _, p, n in reqs)
-    num_pages = int(full_pages * 0.55)
+    num_pages = full_pages + 8 if SATURATE else int(full_pages * 0.55)
     print(f"pages: {num_pages} (full footprint {full_pages})", flush=True)
 
     # ---- untimed warmup: compile every shape both legs will hit ----
