@@ -272,7 +272,8 @@ def _engine_verify_step_seconds(L, quant, n_layers, quant_weights):
     return timed_scan(step, (tokens, pools), params, bt, kv_lens)
 
 
-def _moe_decode_step_seconds(n_layers, quant_weights=False, quant=None):
+def _moe_decode_step_seconds(n_layers, quant_weights=False, quant=None,
+                             sampling=False):
     from xf_flash_attention_cutlass_tpu.models.llama import pack_params_for_decode
     from xf_flash_attention_cutlass_tpu.models.moe import (
         MoEConfig, init_moe_params, quantize_moe_params,
