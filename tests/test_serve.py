@@ -745,3 +745,34 @@ def test_engine_multi_step_with_chunked_prefill_and_prefix():
     for rid in prompts:
         assert list(outs[1][rid]) == list(outs[4][rid]), rid
         assert len(outs[4][rid]) == 9
+
+
+def test_engine_multi_step_eos_mid_window():
+    """EOS landing inside a multi-step window: overshoot tokens after the
+    eos must be trimmed and the stream must equal per-step mode's (which
+    stops at eos naturally)."""
+    cfg, params = _tiny()
+    prompt = [3, 17, 42, 9]
+
+    # find what greedy emits so we can plant a real eos mid-stream
+    probe = DecodeEngine(
+        params, cfg,
+        EngineConfig(max_batch=1, page_size=16, num_pages=32, max_seq=256),
+        dtype=jnp.float32,
+    )
+    probe.add_request(0, prompt, 10)
+    stream = probe.run()[0]
+    eos = stream[5]  # fires at position 5 (or earlier if repeated)
+    want = stream[: stream.index(eos) + 1]
+
+    outs = {}
+    for K in (1, 4):
+        ecfg = EngineConfig(
+            max_batch=1, page_size=16, num_pages=32, max_seq=256,
+            eos_token=eos, multi_step=K,
+        )
+        eng = DecodeEngine(params, cfg, ecfg, dtype=jnp.float32)
+        eng.add_request(0, prompt, 10)
+        outs[K] = eng.run()[0]
+    assert list(outs[1]) == want
+    assert list(outs[4]) == want
